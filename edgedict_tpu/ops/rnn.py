@@ -1,0 +1,164 @@
+"""Recurrent cells as XLA-friendly `lax.scan` layers.
+
+TPU-native replacement for the reference's cuDNN `nn.LSTM`/`nn.GRU` calls
+(reference rnnt/models.py:46,91,145 via torch).  Design:
+
+  * The input projection `x @ W_ih^T + b_ih` for the WHOLE sequence is one
+    large batched matmul (B, T, 4H) that XLA tiles onto the MXU; the
+    sequential `lax.scan` then only carries the small `h @ W_hh^T` recurrence.
+  * Weight layout and gate order are PyTorch-compatible — LSTM gates (i, f, g,
+    o), GRU gates (r, z, n) with b_ih/b_hh kept separate (torch's GRU applies
+    b_hn inside the reset gate) — so reference checkpoints import unchanged.
+  * Every layer has the state-carrying signature `(params, xs, state) →
+    (ys, state)` from day one: training scans the full T, streaming scans a
+    chunk and carries the state pytree across calls (SURVEY.md §7).
+
+All recurrences accumulate in fp32 regardless of input dtype.
+"""
+
+import jax
+import jax.numpy as jnp
+
+
+def _uniform(key, shape, scale):
+    return jax.random.uniform(key, shape, jnp.float32, -scale, scale)
+
+
+def lstm_init(key, input_size, hidden_size):
+    """PyTorch-style init: U(-1/sqrt(H), 1/sqrt(H)) for all tensors."""
+    k = 1.0 / jnp.sqrt(hidden_size)
+    keys = jax.random.split(key, 4)
+    return {
+        'w_ih': _uniform(keys[0], (4 * hidden_size, input_size), k),
+        'w_hh': _uniform(keys[1], (4 * hidden_size, hidden_size), k),
+        'b_ih': _uniform(keys[2], (4 * hidden_size,), k),
+        'b_hh': _uniform(keys[3], (4 * hidden_size,), k),
+    }
+
+
+def gru_init(key, input_size, hidden_size):
+    k = 1.0 / jnp.sqrt(hidden_size)
+    keys = jax.random.split(key, 4)
+    return {
+        'w_ih': _uniform(keys[0], (3 * hidden_size, input_size), k),
+        'w_hh': _uniform(keys[1], (3 * hidden_size, hidden_size), k),
+        'b_ih': _uniform(keys[2], (3 * hidden_size,), k),
+        'b_hh': _uniform(keys[3], (3 * hidden_size,), k),
+    }
+
+
+def lstm_layer(params, xs, state):
+    """Single-layer LSTM over time.
+
+    Args:
+      params: dict from lstm_init.
+      xs: (B, T, input_size).
+      state: (h, c) each (B, H).
+    Returns:
+      ys: (B, T, H); new (h, c).
+    """
+    h0, c0 = state
+    dtype = xs.dtype
+    w_ih = params['w_ih'].astype(dtype)
+    w_hh = params['w_hh'].astype(jnp.float32)
+    bias = (params['b_ih'] + params['b_hh']).astype(jnp.float32)
+    # one big MXU matmul for the whole sequence
+    x_proj = jax.lax.dot_general(
+        xs, w_ih, (((2,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)  # (B, T, 4H)
+
+    hidden = h0.shape[-1]
+
+    def step(carry, x_t):
+        h, c = carry
+        gates = x_t + bias + jnp.dot(h, w_hh.T,
+                                     preferred_element_type=jnp.float32)
+        i, f, g, o = jnp.split(gates, 4, axis=-1)
+        i = jax.nn.sigmoid(i)
+        f = jax.nn.sigmoid(f)
+        g = jnp.tanh(g)
+        o = jax.nn.sigmoid(o)
+        c = f * c + i * g
+        h = o * jnp.tanh(c)
+        return (h, c), h
+
+    (h, c), ys = jax.lax.scan(
+        step, (h0.astype(jnp.float32), c0.astype(jnp.float32)),
+        jnp.swapaxes(x_proj, 0, 1))
+    ys = jnp.swapaxes(ys, 0, 1).astype(dtype)
+    del hidden
+    return ys, (h.astype(h0.dtype), c.astype(c0.dtype))
+
+
+def gru_layer(params, xs, state):
+    """Single-layer GRU over time (torch gate semantics).
+
+    r = σ(W_ir x + b_ir + W_hr h + b_hr)
+    z = σ(W_iz x + b_iz + W_hz h + b_hz)
+    n = tanh(W_in x + b_in + r ⊙ (W_hn h + b_hn))
+    h' = (1 − z) ⊙ n + z ⊙ h
+
+    Args/returns as lstm_layer but state is h only: (B, H).
+    """
+    h0 = state
+    dtype = xs.dtype
+    w_ih = params['w_ih'].astype(dtype)
+    w_hh = params['w_hh'].astype(jnp.float32)
+    b_ih = params['b_ih'].astype(jnp.float32)
+    b_hh = params['b_hh'].astype(jnp.float32)
+    x_proj = jax.lax.dot_general(
+        xs, w_ih, (((2,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) + b_ih  # (B, T, 3H)
+
+    def step(h, x_t):
+        h_proj = jnp.dot(h, w_hh.T,
+                         preferred_element_type=jnp.float32) + b_hh
+        xr, xz, xn = jnp.split(x_t, 3, axis=-1)
+        hr, hz, hn = jnp.split(h_proj, 3, axis=-1)
+        r = jax.nn.sigmoid(xr + hr)
+        z = jax.nn.sigmoid(xz + hz)
+        n = jnp.tanh(xn + r * hn)
+        h = (1.0 - z) * n + z * h
+        return h, h
+
+    h, ys = jax.lax.scan(step, h0.astype(jnp.float32),
+                         jnp.swapaxes(x_proj, 0, 1))
+    ys = jnp.swapaxes(ys, 0, 1).astype(dtype)
+    return ys, h.astype(h0.dtype)
+
+
+def stacked_lstm_init(key, input_size, hidden_size, num_layers):
+    """Multi-layer LSTM (torch nn.LSTM(num_layers=L) equivalent)."""
+    keys = jax.random.split(key, num_layers)
+    layers = []
+    for i in range(num_layers):
+        layers.append(lstm_init(keys[i],
+                                input_size if i == 0 else hidden_size,
+                                hidden_size))
+    return {'layers': layers}
+
+
+def stacked_lstm(params, xs, state, dropout=0.0, rng=None):
+    """Multi-layer LSTM.  state: (h, c) each (L, B, H).  Dropout between
+    layers (not after the last), matching torch nn.LSTM."""
+    hs, cs = state
+    new_h, new_c = [], []
+    n_layers = len(params['layers'])
+    for i, layer in enumerate(params['layers']):
+        xs, (h, c) = lstm_layer(layer, xs, (hs[i], cs[i]))
+        new_h.append(h)
+        new_c.append(c)
+        if dropout > 0 and rng is not None and i < n_layers - 1:
+            rng, sub = jax.random.split(rng)
+            keep = jax.random.bernoulli(sub, 1.0 - dropout, xs.shape)
+            xs = jnp.where(keep, xs / (1.0 - dropout), 0.0).astype(xs.dtype)
+    return xs, (jnp.stack(new_h), jnp.stack(new_c))
+
+
+def lstm_zero_state(num_layers, batch, hidden, dtype=jnp.float32):
+    shape = (num_layers, batch, hidden)
+    return jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)
+
+
+def gru_zero_state(num_layers, batch, hidden, dtype=jnp.float32):
+    return jnp.zeros((num_layers, batch, hidden), dtype)

@@ -13,3 +13,11 @@ if '--xla_force_host_platform_device_count' not in flags:
     os.environ['XLA_FLAGS'] = (
         flags + ' --xla_force_host_platform_device_count=8').strip()
 os.environ.setdefault('JAX_ENABLE_X64', '0')
+
+# the axon sitecustomize pre-imports jax with JAX_PLATFORMS=axon; the env var
+# alone is then too late — force the platform through the config API too.
+import jax  # noqa: E402
+
+jax.config.update('jax_platforms', 'cpu')
+assert jax.devices()[0].platform == 'cpu'
+assert jax.device_count() == 8, jax.devices()
