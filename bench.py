@@ -1,0 +1,82 @@
+"""Benchmark: single-stream streaming decode throughput on one TPU core.
+
+Measures seconds of audio decoded per wall-clock second (the reference's
+`frames / time / 16000` throughput, cli/openvino_wav_inference.py:108-110)
+with the flagship E6D2 model (reference flagfiles/E6D2.txt: 6×1024 LSTM
+encoder, 2×256 prediction net, joint 640, BPE-2048) driving the full
+streaming path: log-mel featurizer → state-carrying encoder chunk step →
+frame-synchronous greedy loop, all in one jitted chunk step.
+
+Baseline: 5.797 sec/sec (reference PyTorch streaming decode on CPU,
+README.md:123-127).  Prints ONE JSON line.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    from edgedict_tpu.features import FeatureConfig
+    from edgedict_tpu.models import transducer as T
+    from edgedict_tpu.stream import StreamingDecoder
+
+    cfg = T.TransducerConfig(
+        vocab_size=2048, vocab_embed_size=64, input_size=240,
+        enc_hidden_size=1024, enc_layers=6, enc_proj_size=640,
+        dec_hidden_size=256, dec_layers=2, dec_proj_size=256,
+        joint_size=640, enc_time_reductions=(1,))
+    feature_cfg = FeatureConfig(
+        feature_type='logfbank', feature_size=80, n_fft=512,
+        win_length=320, hop_length=200, downsample=3,
+        pad_to_divisible=False)
+    params = T.transducer_init(jax.random.PRNGKey(0), cfg)
+
+    class _IdTok:
+        unk_id = 3
+
+        def id_to_token(self, i):
+            return f'<{i}>'
+
+    # 600 ms streaming blocks (8 chunks × 75 ms of audio per dispatch):
+    # state still carried chunk→chunk, output latency bounded at 0.6 s
+    block = 8
+    dec = StreamingDecoder(params, cfg, feature_cfg, _IdTok(),
+                           step_n_frame=2, block_chunks=block)
+
+    rng = np.random.RandomState(0)
+    sample_rate = 16000
+    audio_seconds = 60.0
+    audio = (rng.randn(int(sample_rate * audio_seconds)) * 0.1
+             ).astype(np.float32)
+
+    n_chunks = (len(audio) - dec.win_size) // dec.hop_size + 1
+    n_chunks -= n_chunks % block
+    chunks = np.stack(
+        [audio[i * dec.hop_size:i * dec.hop_size + dec.win_size]
+         for i in range(n_chunks)])
+
+    # warmup (compile)
+    dec.decode_block(chunks[:block])
+    dec.reset()
+
+    start = time.time()
+    for i in range(0, n_chunks, block):
+        dec.decode_block(chunks[i:i + block])
+    wall = time.time() - start
+
+    decoded_audio_sec = n_chunks * dec.hop_size / sample_rate
+    throughput = decoded_audio_sec / wall
+    baseline = 5.797  # reference PyTorch streaming (README.md:123-127)
+    print(json.dumps({
+        'metric': 'streaming_throughput',
+        'value': round(throughput, 3),
+        'unit': 'sec_audio_per_sec',
+        'vs_baseline': round(throughput / baseline, 3),
+    }))
+
+
+if __name__ == '__main__':
+    main()

@@ -1,0 +1,84 @@
+"""Checkpoint save/resume with the reference's on-disk contract.
+
+Layout: logs/<name>/models/<step>.ckpt holding {model, optim, sched, step}
+(reference cli/baseline.py:287-317 saved {'model','optim','sched','amp'} as
+<step>.pt; amp state is obsolete under bf16).  Serialization is flax
+msgpack over numpy-ified pytrees — host-portable, mesh-agnostic: on load
+the caller re-places arrays onto its own mesh/shardings, which is what makes
+the same checkpoint resumable on any chip topology.
+
+Also provides the flag snapshot (logs/<name>/flagfile.txt, reference
+cli/baseline.py:175) that glues hyperparameters to checkpoints for stream /
+export consumers.
+"""
+
+import os
+import re
+
+import jax
+import numpy as np
+from flax import serialization
+
+
+def _to_host(tree):
+    return jax.tree.map(lambda x: np.asarray(x), tree)
+
+
+def save_checkpoint(logdir, step, params, opt_state=None, sched_state=None,
+                    extra=None):
+    """Write logs/<name>/models/<step>.ckpt.  Returns the path."""
+    models_dir = os.path.join(logdir, 'models')
+    os.makedirs(models_dir, exist_ok=True)
+    payload = {
+        'step': int(step),
+        'model': _to_host(params),
+        'optim': _to_host(opt_state) if opt_state is not None else None,
+        'sched': sched_state,
+        'extra': extra,
+    }
+    path = os.path.join(models_dir, f'{int(step)}.ckpt')
+    tmp = path + '.tmp'
+    with open(tmp, 'wb') as f:
+        f.write(serialization.to_bytes(payload))
+    os.replace(tmp, path)
+    return path
+
+
+def load_checkpoint(path, params_template, opt_state_template=None):
+    """Load a checkpoint into the given pytree templates (shapes/treedef
+    come from the templates; values from disk)."""
+    with open(path, 'rb') as f:
+        data = f.read()
+    target = {
+        'step': 0,
+        'model': _to_host(params_template),
+        'optim': (_to_host(opt_state_template)
+                  if opt_state_template is not None else None),
+        'sched': None,
+        'extra': None,
+    }
+    payload = serialization.from_bytes(target, data)
+    return payload
+
+
+def latest_step(logdir):
+    """Highest checkpoint step in logs/<name>/models, or None."""
+    models_dir = os.path.join(logdir, 'models')
+    if not os.path.isdir(models_dir):
+        return None
+    steps = [int(m.group(1)) for fn in os.listdir(models_dir)
+             if (m := re.fullmatch(r'(\d+)\.ckpt', fn))]
+    return max(steps) if steps else None
+
+
+def checkpoint_path(logdir, step):
+    return os.path.join(logdir, 'models', f'{int(step)}.ckpt')
+
+
+def snapshot_flags(FLAGS, logdir):
+    """Write the run's exact flags to logs/<name>/flagfile.txt (reference
+    cli/baseline.py:175); downstream tools consume this snapshot."""
+    os.makedirs(logdir, exist_ok=True)
+    path = os.path.join(logdir, 'flagfile.txt')
+    FLAGS.append_flags_into_file(path)
+    return path

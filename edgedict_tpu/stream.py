@@ -1,0 +1,221 @@
+"""Streaming (online) decode runtime: chunked, state-carrying, one jitted
+step per audio chunk.
+
+Rebuild of the reference streaming decoders (rnnt/stream.py:28-120
+PytorchStreamDecoder, :123-223 OpenVINOStreamDecoder): the decoder holds
+encoder (h, c), prediction-net (h, c) and the last prediction-net output
+across chunks; each incoming audio chunk is featurized, run through one
+encoder step, and each resulting encoder frame emits at most one token
+(argmax of the joint, `<unk>` suppressed, prediction net advanced only on
+non-blank).
+
+TPU-native difference: the reference's per-frame Python loop with three
+separate module calls becomes ONE jitted function per chunk — featurizer →
+encoder → `lax.scan` over the chunk's encoder frames with `where`-gated
+state updates.  One host→device round trip per chunk instead of ~7, which
+is what sets the streaming realtime factor on an accelerator.
+
+The chunk geometry matches youtube_live.py:26-30:
+  win_size = win_length + hop_length * (downsample * step_n_frame − 1)
+  hop_size = hop_length * downsample * step_n_frame
+with the feature transform applied per chunk with pad_to_divisible=False
+(rnnt/stream.py:38-44).
+"""
+
+import time
+from typing import NamedTuple, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from edgedict_tpu.features import FeatureConfig, FeaturePipeline
+from edgedict_tpu.models import transducer as T
+from edgedict_tpu.tokenizer import NUL
+
+
+class StreamState(NamedTuple):
+    enc_state: tuple       # encoder per-layer RNN state
+    dec_state: tuple       # prediction-net (h, c)
+    h_dec: jnp.ndarray     # last prediction-net output (1, dec_proj)
+
+
+def stream_chunk_geometry(win_length, hop_length, downsample, step_n_frame):
+    """(win_size, hop_size) in samples (reference youtube_live.py:26-30)."""
+    win_size = win_length + hop_length * (downsample * step_n_frame - 1)
+    hop_size = hop_length * downsample * step_n_frame
+    return win_size, hop_size
+
+
+def make_stream_state(params, cfg: T.TransducerConfig):
+    """Zero encoder state; prediction net primed with BOS
+    (reference rnnt/stream.py:78-91)."""
+    enc_state = T.encoder_zero_state(cfg, 1)
+    empty = jnp.zeros((1, 0), jnp.int32)
+    h_dec, dec_state = T.decoder_apply(params['decoder'], cfg, empty)
+    return StreamState(enc_state=enc_state, dec_state=dec_state,
+                       h_dec=h_dec[:, 0])
+
+
+def _make_chunk_step_fn(params, cfg: T.TransducerConfig,
+                        pipeline: FeaturePipeline,
+                        unk_id: Optional[int] = None):
+    """Unjitted chunk-step body (shared by the single-chunk and grouped
+    variants)."""
+
+    def chunk_step(params, state, audio):
+        xs, _ = pipeline(audio, jnp.asarray([audio.shape[1]]), train=False)
+        enc_xs, enc_state = T.encoder_apply(
+            params['encoder'], cfg, xs, state.enc_state)
+
+        def frame(carry, h_enc_t):
+            h_dec, dec_state = carry
+            logits = T.joint_apply(params['joint'], h_enc_t, h_dec)[0]
+            pred = jnp.argmax(logits)
+            if unk_id is not None:
+                # <unk> suppression: re-argmax with <unk> disabled
+                # (reference rnnt/stream.py:106-108)
+                logits_no_unk = logits.at[unk_id].set(-jnp.inf)
+                pred = jnp.where(pred == unk_id,
+                                 jnp.argmax(logits_no_unk), pred)
+            pred = pred.astype(jnp.int32)
+            h_dec_new, dec_state_new = T.decoder_apply(
+                params['decoder'], cfg, pred[None, None], dec_state)
+            adv = pred != cfg.blank
+            h_dec = jnp.where(adv, h_dec_new[:, 0], h_dec)
+            dec_state = jax.tree.map(
+                lambda new, old: jnp.where(adv, new, old),
+                dec_state_new, dec_state)
+            return (h_dec, dec_state), pred
+
+        (h_dec, dec_state), tokens = jax.lax.scan(
+            frame, (state.h_dec, state.dec_state),
+            jnp.swapaxes(enc_xs, 0, 1)[:, 0])
+        new_state = StreamState(enc_state=enc_state, dec_state=dec_state,
+                                h_dec=h_dec)
+        return tokens, new_state
+
+    return chunk_step
+
+
+def make_chunk_step(params, cfg: T.TransducerConfig,
+                    pipeline: FeaturePipeline, chunk_samples: int,
+                    unk_id: Optional[int] = None):
+    """Jitted per-chunk decode step: fn(params, state, audio (1, chunk)) →
+    (tokens (n_frames,) int32 with NUL for silent frames, new_state)."""
+    return jax.jit(_make_chunk_step_fn(params, cfg, pipeline, unk_id))
+
+
+def make_chunk_group_step(params, cfg: T.TransducerConfig,
+                          pipeline: FeaturePipeline, chunk_samples: int,
+                          n_chunks: int, unk_id: Optional[int] = None):
+    """Jitted multi-chunk decode step: scans the single-chunk step over
+    `n_chunks` consecutive chunks in ONE dispatch.
+
+    Math is identical to n_chunks sequential decode() calls (state is still
+    carried chunk→chunk inside the scan); this only amortizes the
+    host→device dispatch latency, trading it for n_chunks·hop of output
+    latency.  fn(params, state, chunks (n_chunks, chunk_samples)) →
+    (tokens (n_chunks, n_frames), new_state).
+    """
+    step = _make_chunk_step_fn(params, cfg, pipeline, unk_id)
+
+    def group_step(params, state, chunks):
+        def body(st, chunk):
+            tokens, st = step(params, st, chunk[None])
+            return st, tokens
+        state, tokens = jax.lax.scan(body, state, chunks)
+        return tokens, state
+
+    return jax.jit(group_step)
+
+
+class StreamingDecoder:
+    """Host-side streaming decoder (the PytorchStreamDecoder equivalent).
+
+    decode(frame) consumes one chunk of raw audio (numpy, win_size samples)
+    and returns the newly decoded text.  Per-chunk wall times are collected
+    in `elapsed` (reference reset_profile protocol, rnnt/stream.py:16-26).
+    """
+
+    def __init__(self, params, cfg, feature_cfg: FeatureConfig, tokenizer,
+                 step_n_frame=2, reset_step=None, block_chunks=1):
+        assert not feature_cfg.pad_to_divisible, \
+            'streaming uses pad_to_divisible=False (rnnt/stream.py:38-44)'
+        self.params = params
+        self.cfg = cfg
+        self.tokenizer = tokenizer
+        self.pipeline = FeaturePipeline(feature_cfg)
+        self.win_size, self.hop_size = stream_chunk_geometry(
+            feature_cfg.win_length, feature_cfg.hop_length,
+            feature_cfg.downsample, step_n_frame)
+        unk_id = getattr(tokenizer, 'unk_id', None)
+        self.chunk_step = make_chunk_step(
+            params, cfg, self.pipeline, self.win_size, unk_id=unk_id)
+        self.block_chunks = max(1, block_chunks)
+        self.group_step = (make_chunk_group_step(
+            params, cfg, self.pipeline, self.win_size, self.block_chunks,
+            unk_id=unk_id) if self.block_chunks > 1 else None)
+        self.reset_step = reset_step
+        self._steps = 0
+        self.reset_profile()
+        self.reset()
+
+    def reset(self):
+        self.state = make_stream_state(self.params, self.cfg)
+        self._steps = 0
+
+    def reset_profile(self):
+        self.elapsed = []
+
+    def decode(self, frame: np.ndarray) -> str:
+        """frame: (win_size,) float32 samples → newly decoded text."""
+        start = time.time()
+        audio = jnp.asarray(frame, jnp.float32)[None, :]
+        tokens, self.state = self.chunk_step(self.params, self.state, audio)
+        tokens = np.asarray(tokens)
+        self.elapsed.append(time.time() - start)
+        self._steps += 1
+        if self.reset_step and self._steps >= self.reset_step:
+            self.reset()
+        return self._detok(tokens)
+
+    def _detok(self, tokens):
+        out = []
+        for t in tokens:
+            if t != NUL:
+                piece = self.tokenizer.id_to_token(int(t))
+                out.append(piece.replace('</w>', ' '))
+        return ''.join(out)
+
+    def decode_block(self, chunks: np.ndarray) -> str:
+        """Decode `block_chunks` consecutive chunks in ONE device dispatch
+        (chunks: (block_chunks, win_size)).  Same math as block_chunks
+        sequential decode() calls; amortizes dispatch latency."""
+        assert self.group_step is not None
+        start = time.time()
+        tokens, self.state = self.group_step(
+            self.params, self.state, jnp.asarray(chunks, jnp.float32))
+        tokens = np.asarray(tokens).reshape(-1)
+        self.elapsed.append(time.time() - start)
+        self._steps += len(chunks)
+        return self._detok(tokens)
+
+    def decode_wav(self, audio: np.ndarray) -> str:
+        """Offline chunked decode of a full waveform (the stream.py --path
+        one-shot mode, reference stream.py:106-117)."""
+        self.reset()
+        text = []
+        n = max((len(audio) - self.win_size) // self.hop_size + 1, 0)
+        chunks = np.stack([
+            audio[i * self.hop_size:i * self.hop_size + self.win_size]
+            for i in range(n)]) if n else np.zeros((0, self.win_size))
+        i = 0
+        if self.group_step is not None:
+            while i + self.block_chunks <= n:
+                text.append(self.decode_block(
+                    chunks[i:i + self.block_chunks]))
+                i += self.block_chunks
+        for j in range(i, n):
+            text.append(self.decode(chunks[j]))
+        return ''.join(text)

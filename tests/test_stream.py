@@ -1,0 +1,117 @@
+"""Streaming runtime tests.
+
+Key property (SURVEY §4 implication c): a state-carrying encoder driven
+chunk-by-chunk must equal the full-sequence encoder bit-for-bit — this is
+what makes unbounded streaming equivalent to offline decode.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from edgedict_tpu.features import FeatureConfig
+from edgedict_tpu.models import transducer as T
+from edgedict_tpu.models.decoding import greedy_decode_from_encoder
+from edgedict_tpu.stream import (
+    StreamingDecoder, make_chunk_step, make_stream_state,
+    stream_chunk_geometry)
+
+CFG = T.TransducerConfig(
+    vocab_size=16, vocab_embed_size=8, input_size=9,
+    enc_hidden_size=16, enc_layers=2, enc_proj_size=12,
+    dec_hidden_size=16, dec_layers=1, dec_proj_size=12,
+    joint_size=16, enc_time_reductions=())   # no time reduction in streaming
+
+
+def test_chunked_encoder_equals_full():
+    params = T.transducer_init(jax.random.PRNGKey(0), CFG)
+    xs = jax.random.normal(jax.random.PRNGKey(1), (1, 12, CFG.input_size))
+    full, _ = T.encoder_apply(params['encoder'], CFG, xs)
+    state = T.encoder_zero_state(CFG, 1)
+    outs = []
+    for i in range(0, 12, 2):
+        y, state = T.encoder_apply(params['encoder'], CFG, xs[:, i:i + 2],
+                                   state)
+        outs.append(y)
+    chunked = jnp.concatenate(outs, axis=1)
+    np.testing.assert_allclose(np.asarray(full), np.asarray(chunked),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_chunked_greedy_equals_batched_greedy():
+    """Streaming frame loop over chunks == offline greedy decode on the same
+    encoder output sequence."""
+    params = T.transducer_init(jax.random.PRNGKey(2), CFG)
+    h_enc = jax.random.normal(jax.random.PRNGKey(3), (1, 10, CFG.enc_proj_size))
+    y_ref, _ = greedy_decode_from_encoder(params, CFG, h_enc)
+
+    # streaming: same frame-sync loop, carried across "chunks" of 2 frames
+    from edgedict_tpu.stream import StreamState
+    state = make_stream_state(params, CFG)
+    toks = []
+    for i in range(0, 10, 2):
+        def frame(carry, h_enc_t):
+            h_dec, dec_state = carry
+            logits = T.joint_apply(params['joint'], h_enc_t, h_dec)[0]
+            pred = jnp.argmax(logits).astype(jnp.int32)
+            h_dec_new, dec_state_new = T.decoder_apply(
+                params['decoder'], CFG, pred[None, None], dec_state)
+            adv = pred != CFG.blank
+            h_dec = jnp.where(adv, h_dec_new[:, 0], h_dec)
+            dec_state = jax.tree.map(
+                lambda new, old: jnp.where(adv, new, old),
+                dec_state_new, dec_state)
+            return (h_dec, dec_state), pred
+
+        (h_dec, dec_state), preds = jax.lax.scan(
+            frame, (state.h_dec, state.dec_state),
+            jnp.swapaxes(h_enc[:, i:i + 2], 0, 1)[:, 0])
+        state = StreamState(enc_state=state.enc_state, dec_state=dec_state,
+                            h_dec=h_dec)
+        toks.append(np.asarray(preds))
+    np.testing.assert_array_equal(np.concatenate(toks), np.asarray(y_ref)[0])
+
+
+class _Tok:
+    unk_id = 3
+
+    def id_to_token(self, i):
+        return chr(ord('a') + i) + '</w>'
+
+
+def test_streaming_decoder_end_to_end():
+    feature_cfg = FeatureConfig(
+        feature_type='logfbank', feature_size=3, n_fft=64, win_length=40,
+        hop_length=20, downsample=3, pad_to_divisible=False)
+    cfg = T.TransducerConfig(
+        vocab_size=16, vocab_embed_size=8, input_size=9,
+        enc_hidden_size=16, enc_layers=2, enc_proj_size=12,
+        dec_hidden_size=16, dec_layers=1, dec_proj_size=12,
+        joint_size=16, enc_time_reductions=())
+    params = T.transducer_init(jax.random.PRNGKey(4), cfg)
+    dec = StreamingDecoder(params, cfg, feature_cfg, _Tok(), step_n_frame=2)
+    win, hop = stream_chunk_geometry(40, 20, 3, 2)
+    assert (dec.win_size, dec.hop_size) == (win, hop)
+    audio = np.random.RandomState(0).randn(win * 4).astype(np.float32)
+    text = dec.decode_wav(audio)
+    assert isinstance(text, str)
+    assert len(dec.elapsed) > 0
+    # decode never emits raw <unk>/<nul> pieces
+    assert '<' not in text
+
+
+def test_streaming_reset_policy():
+    feature_cfg = FeatureConfig(
+        feature_type='logfbank', feature_size=3, n_fft=64, win_length=40,
+        hop_length=20, downsample=3, pad_to_divisible=False)
+    params = T.transducer_init(jax.random.PRNGKey(5), CFG)
+    dec = StreamingDecoder(params, CFG, feature_cfg, _Tok(),
+                           step_n_frame=2, reset_step=2)
+    chunk = np.zeros(dec.win_size, np.float32)
+    dec.decode(chunk)
+    s1 = dec.state
+    dec.decode(chunk)           # triggers reset after 2 steps
+    assert dec._steps == 0
+    np.testing.assert_allclose(
+        np.asarray(dec.state.enc_state[0]),
+        np.zeros_like(np.asarray(s1.enc_state[0])))
