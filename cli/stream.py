@@ -1,0 +1,118 @@
+"""Streaming decode CLI: wav file or microphone (the reference stream.py,
+/root/reference/stream.py:71-134).
+
+  python -m cli.stream --flagfile logs/<name>/flagfile.txt --path x.wav
+  python -m cli.stream --flagfile ... --mic          (needs sounddevice)
+
+Silence policy: after `--reset_after` consecutive empty chunk decodes the
+decoder state is reset and "[Background]" printed (reference
+stream.py:92-98).
+"""
+
+import os
+
+from absl import app, flags
+
+from edgedict_tpu.config import FLAGS
+
+flags.DEFINE_string('path', None, 'decode a wav file and exit')
+flags.DEFINE_bool('mic', False, 'stream from the microphone')
+flags.DEFINE_integer('step_n_frame', 2, 'encoder frames per chunk')
+flags.DEFINE_integer('reset_after', 35,
+                     'reset state after N consecutive blank chunks')
+flags.DEFINE_string('model_name', None,
+                    'checkpoint file name under logs/<name>/models '
+                    '(default: latest)')
+
+
+def build_stream_decoder(FLAGS):
+    import jax
+    from edgedict_tpu.checkpoint import (
+        checkpoint_path, latest_step, load_checkpoint)
+    from edgedict_tpu.features import FeatureConfig
+    from edgedict_tpu.models import transducer as T
+    from edgedict_tpu.stream import StreamingDecoder
+    from edgedict_tpu.trainer import build_tokenizer
+
+    tokenizer = build_tokenizer(FLAGS)
+    assert getattr(tokenizer, 'tokenizer', None) is not None or \
+        getattr(tokenizer, 'token2id', None) is not None, \
+        'tokenizer cache not found — train first or point at a BPE cache'
+
+    feature_cfg = FeatureConfig.from_flags(FLAGS, pad_to_divisible=False)
+    cfg = T.TransducerConfig.from_flags(
+        FLAGS, vocab_size=tokenizer.vocab_size,
+        input_size=feature_cfg.input_size)
+    params = T.transducer_init(jax.random.PRNGKey(0), cfg)
+
+    logdir = os.path.join(FLAGS.logdir_root, FLAGS.name)
+    step = latest_step(logdir)
+    if FLAGS.model_name:
+        path = os.path.join(logdir, 'models', FLAGS.model_name)
+    elif step is not None:
+        path = checkpoint_path(logdir, step)
+    else:
+        path = None
+    if path and os.path.exists(path):
+        payload = load_checkpoint(path, params)
+        params = jax.tree.map(jax.numpy.asarray, payload['model'])
+        print(f'loaded {path}')
+    else:
+        print('WARNING: no checkpoint found — using random weights')
+    return StreamingDecoder(params, cfg, feature_cfg, tokenizer,
+                            step_n_frame=FLAGS.step_n_frame)
+
+
+def main(argv):
+    del argv
+    decoder = build_stream_decoder(FLAGS)
+
+    if FLAGS.path:
+        from edgedict_tpu.data import load_audio
+        audio, sr = load_audio(FLAGS.path)
+        assert sr == 16000, f'expected 16 kHz audio, got {sr}'
+        text = decoder.decode_wav(audio)
+        print(text)
+        if decoder.elapsed:
+            import numpy as np
+            mean_ms = float(np.mean(decoder.elapsed)) * 1000
+            audio_s = len(audio) / sr
+            total = sum(decoder.elapsed)
+            print(f'[chunks {len(decoder.elapsed)}  mean {mean_ms:.2f} ms  '
+                  f'throughput {audio_s / total:.2f} sec/sec]')
+        return
+
+    if FLAGS.mic:
+        import numpy as np
+        import sounddevice as sd
+        blank_count = 0
+        buf = np.zeros(0, np.float32)
+
+        def callback(indata, frames, t, status):
+            nonlocal blank_count, buf
+            buf = np.concatenate([buf, indata[:, 0].astype(np.float32)])
+            while len(buf) >= decoder.win_size:
+                text = decoder.decode(buf[:decoder.win_size])
+                buf = buf[decoder.hop_size:]
+                if text:
+                    blank_count = 0
+                    print(text, end='', flush=True)
+                else:
+                    blank_count += 1
+                    if blank_count >= FLAGS.reset_after:
+                        print('\n[Background]')
+                        decoder.reset()
+                        blank_count = 0
+
+        with sd.InputStream(samplerate=16000, channels=1,
+                            callback=callback):
+            print('listening (ctrl-c to stop)')
+            import time
+            while True:
+                time.sleep(0.1)
+
+    raise app.UsageError('pass --path <wav> or --mic')
+
+
+if __name__ == '__main__':
+    app.run(main)

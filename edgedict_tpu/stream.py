@@ -31,7 +31,7 @@ import jax.numpy as jnp
 
 from edgedict_tpu.features import FeatureConfig, FeaturePipeline
 from edgedict_tpu.models import transducer as T
-from edgedict_tpu.tokenizer import NUL
+from edgedict_tpu.tokenizer import NUL, UNK
 
 
 class StreamState(NamedTuple):
@@ -183,7 +183,7 @@ class StreamingDecoder:
     def _detok(self, tokens):
         out = []
         for t in tokens:
-            if t != NUL:
+            if t > UNK:   # never emit NUL/PAD/BOS/UNK as text
                 piece = self.tokenizer.id_to_token(int(t))
                 out.append(piece.replace('</w>', ' '))
         return ''.join(out)

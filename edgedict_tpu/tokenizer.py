@@ -96,6 +96,13 @@ class CharTokenizer:
     def decode_plus(self, token_batch):
         return [self.decode(tokens) for tokens in token_batch]
 
+    @property
+    def unk_id(self):
+        return UNK
+
+    def id_to_token(self, idx):
+        return self.id2token[int(idx)]
+
 
 class CharBPE:
     """Greedy merge-rank character BPE with `</w>` word-end suffix.
@@ -367,6 +374,13 @@ class HuggingFaceTokenizer:
 
     def decode_plus(self, token_batch):
         return [self.decode(tokens) for tokens in token_batch]
+
+    @property
+    def unk_id(self):
+        return self.tokenizer.unk_id
+
+    def id_to_token(self, idx):
+        return self.tokenizer.inv_vocab.get(int(idx), UNK_token)
 
 
 def _extract_hf_merges(hf_tokenizer):

@@ -1,0 +1,251 @@
+"""Training orchestration: the reference Trainer rebuilt around one sharded
+jitted train step.
+
+Reference skeleton (cli/baseline.py:35-351): build transform → tokenizer →
+merged datasets → model → optimizer → plateau scheduler → [apex/
+DataParallel] → infinite step loop with linear warmup, grad-accumulated
+train_step, periodic eval (greedy WER), step-numbered checkpoints,
+TensorBoard scalars.  Here the bracketed parallelism/precision machinery
+disappears into `edgedict_tpu.parallel.make_train_step` (mesh + bf16), and
+featurization runs on-device inside the train step (raw audio batches cross
+the host→device boundary, not fp32 features).
+"""
+
+import os
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from edgedict_tpu import optim
+from edgedict_tpu.checkpoint import (
+    checkpoint_path, latest_step, load_checkpoint, save_checkpoint,
+    snapshot_flags)
+from edgedict_tpu.data import (
+    BucketSpec, CommonVoice, DataLoader, Librispeech, MergedDataset,
+    TEDLIUM, YoutubeCaption, seq_collate)
+from edgedict_tpu.features import FeatureConfig, FeaturePipeline
+from edgedict_tpu.metrics import wer as wer_fn
+from edgedict_tpu.models import transducer as T
+from edgedict_tpu.models.decoding import truncate_and_strip
+from edgedict_tpu.parallel import (
+    batch_sharding, make_eval_step, make_mesh, make_train_state,
+    make_train_step, shard_batch)
+from edgedict_tpu.tokenizer import CharTokenizer, HuggingFaceTokenizer
+
+
+def build_tokenizer(FLAGS):
+    """Tokenizer per flags; cache layout matches the reference
+    (cli/baseline.py:52-56: char → logs/char cache, bpe → BPE-<size>)."""
+    if FLAGS.tokenizer == 'bpe':
+        return HuggingFaceTokenizer(
+            cache_dir='BPE-%d' % FLAGS.bpe_size, vocab_size=FLAGS.bpe_size)
+    tok = CharTokenizer(cache_dir=os.path.join(FLAGS.logdir_root, 'char'))
+    try:
+        tok.load()
+    except FileNotFoundError:
+        pass
+    return tok
+
+
+def build_datasets(FLAGS, tokenizer):
+    """Train/eval datasets from the flag-registered corpus roots; corpora
+    whose root is missing are skipped with a notice (the reference
+    hard-required all eight, cli/baseline.py:59-109)."""
+    kwargs = dict(audio_max_length=FLAGS.audio_max_length)
+    train = []
+    for root in (FLAGS.LibriSpeech_train_500, FLAGS.LibriSpeech_train_360,
+                 FLAGS.LibriSpeech_train_100):
+        if os.path.isdir(root):
+            train.append(Librispeech(root, tokenizer, **kwargs))
+    if os.path.isdir(os.path.join(FLAGS.TEDLIUM_train, 'wav')):
+        train.append(TEDLIUM(FLAGS.TEDLIUM_train, tokenizer, **kwargs))
+    if os.path.isfile(os.path.join(FLAGS.CommonVoice, 'train.tsv')):
+        train.append(CommonVoice(FLAGS.CommonVoice, 'train.tsv', tokenizer,
+                                 **kwargs))
+    for root, csv_name in ((FLAGS.YT_bloomberg2, 'bloomberg2_meta.csv'),
+                           (FLAGS.YT_life, 'life_meta.csv')):
+        if os.path.isfile(os.path.join(root, csv_name)):
+            train.append(YoutubeCaption(root, csv_name, tokenizer, **kwargs))
+    eval_ds = None
+    if os.path.isdir(FLAGS.LibriSpeech_test):
+        eval_ds = Librispeech(FLAGS.LibriSpeech_test, tokenizer,
+                              audio_max_length=999)
+    return train, eval_ds
+
+
+class Trainer:
+    def __init__(self, FLAGS, train_datasets=None, eval_dataset=None,
+                 mesh=None):
+        self.FLAGS = FLAGS
+        self.logdir = os.path.join(FLAGS.logdir_root, FLAGS.name)
+        os.makedirs(self.logdir, exist_ok=True)
+
+        self.tokenizer = build_tokenizer(FLAGS)
+        if train_datasets is None:
+            train_datasets, eval_dataset = build_datasets(
+                FLAGS, self.tokenizer)
+        self.train_dataset = MergedDataset(train_datasets)
+        self.eval_dataset = eval_dataset
+        if getattr(self.tokenizer, 'token2id', True) is None or \
+                getattr(self.tokenizer, 'tokenizer', True) is None:
+            self.tokenizer.build(self.train_dataset.texts())
+
+        # feature frontend runs ON DEVICE inside the train step
+        self.feature_cfg = FeatureConfig.from_flags(FLAGS)
+        self.pipeline = FeaturePipeline(self.feature_cfg)
+        self.cfg = T.TransducerConfig.from_flags(
+            FLAGS, vocab_size=self.tokenizer.vocab_size,
+            input_size=self.feature_cfg.input_size)
+
+        self.mesh = mesh if mesh is not None else make_mesh(
+            dp=FLAGS.dp_size, tp=FLAGS.tp_size)
+        self.accum_steps = max(1, FLAGS.batch_size // FLAGS.sub_batch_size)
+
+        self.optimizer = optim.build_optimizer(
+            FLAGS.optim, lr=FLAGS.lr, gradclip=FLAGS.gradclip)
+        self.state = make_train_state(
+            jax.random.PRNGKey(0), self.cfg, self.optimizer, self.mesh)
+        self.train_step = make_train_step(
+            self.cfg, self.optimizer, self.mesh, bf16=FLAGS.bf16,
+            feature_pipeline=self.pipeline)
+        self.eval_step = make_eval_step(
+            self.cfg, self.mesh, feature_pipeline=self.pipeline)
+
+        self.sched = optim.ReduceLROnPlateau(
+            base_lr=FLAGS.lr, factor=FLAGS.sched_factor,
+            patience=FLAGS.sched_patience, min_lr=FLAGS.sched_min_lr) \
+            if FLAGS.sched else None
+
+        hop = FLAGS.hop_length * max(1, FLAGS.downsample)
+        self.bucket = BucketSpec(
+            t_multiple=FLAGS.audio_bucket_frames * hop,
+            u_multiple=FLAGS.label_bucket,
+            t_max=int(FLAGS.audio_max_length * 16000 + hop),
+        )
+        self.loader = DataLoader(
+            self.train_dataset, FLAGS.batch_size, shuffle=True,
+            bucket=self.bucket, drop_last=True)
+        self.eval_loader = DataLoader(
+            self.eval_dataset, FLAGS.eval_batch_size, shuffle=False,
+            bucket=self.bucket, drop_last=True,
+            prefetch=0) if self.eval_dataset is not None else None
+
+        try:
+            from tensorboardX import SummaryWriter
+            self.writer = SummaryWriter(self.logdir)
+        except Exception:
+            self.writer = None
+        snapshot_flags(FLAGS, self.logdir)
+        self._rng = jax.random.PRNGKey(1234)
+
+    # ------------------------------------------------------------------
+    def _lr(self, step):
+        lr = self.FLAGS.lr * float(optim.warmup_scale(
+            step, self.FLAGS.warmup_step))
+        if self.sched is not None:
+            lr = max(lr * self.sched.state.scale,
+                     self.FLAGS.sched_min_lr)
+        return lr
+
+    def _next_rng(self):
+        self._rng, sub = jax.random.split(self._rng)
+        return sub
+
+    def run_step(self, batch):
+        """One optimizer step on a host batch dict (audio/alen/ys/ylen)."""
+        sharded = shard_batch(self.mesh, batch, self.accum_steps)
+        step = int(self.state.step)
+        self.state, metrics = self.train_step(
+            self.state, sharded, self._next_rng(),
+            jnp.asarray(self._lr(step), jnp.float32))
+        return metrics
+
+    def train(self, total_steps=None, log_fn=print):
+        F = self.FLAGS
+        total = total_steps or F.epochs * max(len(self.loader), 1)
+        step = int(self.state.step)
+        t0 = time.time()
+        while step < total:
+            for batch in self.loader:
+                metrics = self.run_step(batch)
+                step = int(self.state.step)
+                if step % F.loss_step == 0:
+                    loss = float(metrics['loss'])
+                    if self.writer:
+                        self.writer.add_scalar('train_loss', loss, step)
+                        self.writer.add_scalar('lr', self._lr(step), step)
+                    log_fn(f'step {step}/{total} loss {loss:.4f} '
+                           f'lr {self._lr(step):.2e} '
+                           f'({time.time() - t0:.1f}s)')
+                if step % F.save_step == 0:
+                    self.save()
+                if step % F.eval_step == 0 and self.eval_loader:
+                    val_loss, val_wer = self.evaluate()
+                    if self.sched is not None:
+                        self.sched.step(val_loss)
+                    if self.writer:
+                        self.writer.add_scalar('val_loss', val_loss, step)
+                        self.writer.add_scalar('WER', val_wer, step)
+                    log_fn(f'eval @ {step}: loss {val_loss:.4f} '
+                           f'WER {val_wer:.4f}')
+                if step >= total:
+                    break
+        self.save()
+
+    # ------------------------------------------------------------------
+    def evaluate(self, max_batches=None):
+        losses, refs, hyps = [], [], []
+        for i, batch in enumerate(self.eval_loader):
+            if max_batches is not None and i >= max_batches:
+                break
+            dev = {k: jax.device_put(
+                v, batch_sharding(self.mesh, with_accum_axis=False))
+                for k, v in batch.items()}
+            loss, y_seq, out_len = self.eval_step(self.state.params, dev)
+            losses.append(float(loss))
+            seqs = truncate_and_strip(y_seq, out_len, blank=self.cfg.blank)
+            hyps.extend(self.tokenizer.decode_plus(seqs))
+            refs.extend(self.tokenizer.decode_plus(
+                [y[:n] for y, n in zip(np.asarray(batch['ys']),
+                                       np.asarray(batch['ylen']))]))
+        pairs = [(r, h) for r, h in zip(refs, hyps) if r.strip()]
+        val_wer = wer_fn([r for r, _ in pairs], [h for _, h in pairs]) \
+            if pairs else 1.0
+        if self.writer and pairs:
+            sample = '\n\n'.join(f'REF: {r}\nHYP: {h}'
+                                 for r, h in pairs[:self.FLAGS.sample_size])
+            self.writer.add_text('samples', sample, int(self.state.step))
+        return float(np.mean(losses) if losses else np.nan), val_wer
+
+    def sanity_check(self):
+        """One eval batch through the eval step (reference
+        cli/baseline.py:319-323)."""
+        if not self.eval_loader:
+            return None
+        return self.evaluate(max_batches=1)
+
+    # ------------------------------------------------------------------
+    def save(self):
+        step = int(self.state.step)
+        return save_checkpoint(
+            self.logdir, step, self.state.params, self.state.opt_state,
+            self.sched.state_dict() if self.sched else None)
+
+    def load(self, step=None):
+        step = step if step is not None else latest_step(self.logdir)
+        if step is None:
+            raise FileNotFoundError(f'no checkpoints under {self.logdir}')
+        payload = load_checkpoint(
+            checkpoint_path(self.logdir, step), self.state.params,
+            self.state.opt_state)
+        from edgedict_tpu.parallel import param_sharding
+        shardings = param_sharding(payload['model'], self.mesh)
+        params = jax.tree.map(jax.device_put, payload['model'], shardings)
+        self.state = self.state._replace(
+            step=jnp.asarray(payload['step'], jnp.int32), params=params,
+            opt_state=jax.tree.map(jnp.asarray, payload['optim']))
+        if self.sched is not None and payload['sched'] is not None:
+            self.sched.load_state_dict(payload['sched'])
+        return step
