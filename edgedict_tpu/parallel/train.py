@@ -82,9 +82,11 @@ def shard_batch(mesh, batch, accum_steps=1):
     return out
 
 
-def make_train_state(key, cfg, optimizer, mesh=None):
-    """Initialize params + optimizer state, optionally sharded on `mesh`."""
-    params = T.transducer_init(key, cfg)
+def make_train_state(key, cfg, optimizer, mesh=None, init_fn=None):
+    """Initialize params + optimizer state, optionally sharded on `mesh`.
+    init_fn overrides the default transducer initializer (e.g. to add a
+    trainable FrontEnd or wav2vec params)."""
+    params = (init_fn or T.transducer_init)(key, cfg)
     if mesh is not None:
         shardings = param_sharding(params, mesh)
         params = jax.tree.map(
@@ -102,17 +104,21 @@ def _set_lr(opt_state, lr):
 
 
 def make_train_step(cfg, optimizer, mesh=None, bf16=True,
-                    feature_pipeline=None):
+                    feature_pipeline=None, loss_fn=None, batch_keys=None,
+                    loss_has_aux=False):
     """Build the jitted train step.
 
     The returned fn has signature (state, batch, rng, lr) → (state, metrics)
     where batch holds (accum, micro, ...) arrays:
       * raw-audio mode (feature_pipeline given): 'audio', 'alen', 'ys', 'ylen'
       * feature mode: 'xs', 'xlen', 'ys', 'ylen'
+    A custom loss_fn(params, micro, rng) → scalar overrides the default
+    transducer loss (used by the raw-waveform FrontEnd and wav2vec paths).
     """
     compute_dtype = jnp.bfloat16 if bf16 else jnp.float32
 
-    def loss_fn(params, micro, rng):
+    def default_loss_fn(params, micro, rng, aux):
+        del aux
         if feature_pipeline is not None:
             rng_feat, rng_model = jax.random.split(rng)
             xs, xlen = feature_pipeline(micro['audio'], micro['alen'],
@@ -125,20 +131,28 @@ def make_train_step(cfg, optimizer, mesh=None, bf16=True,
                                  micro['ylen'], deterministic=False,
                                  rng=rng_model)
 
-    def train_step(state, batch, rng, lr):
+    loss_fn = loss_fn or default_loss_fn
+
+    def train_step(state, batch, rng, lr, aux):
         accum = jax.tree.leaves(batch)[0].shape[0]
         rngs = jax.random.split(rng, accum)
 
         def micro_grads(carry, inp):
             micro, r = inp
-            loss, grads = jax.value_and_grad(loss_fn)(state.params, micro, r)
+            if loss_has_aux:
+                (loss, extra), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(state.params, micro, r, aux)
+            else:
+                loss, grads = jax.value_and_grad(loss_fn)(
+                    state.params, micro, r, aux)
+                extra = {}
             acc_loss, acc_grads = carry
             acc_grads = jax.tree.map(jnp.add, acc_grads, grads)
-            return (acc_loss + loss, acc_grads), None
+            return (acc_loss + loss, acc_grads), extra
 
         zero_grads = jax.tree.map(
             lambda p: jnp.zeros(p.shape, jnp.float32), state.params)
-        (loss_sum, grad_sum), _ = jax.lax.scan(
+        (loss_sum, grad_sum), extras = jax.lax.scan(
             micro_grads, (jnp.zeros((), jnp.float32), zero_grads),
             (batch, rngs))
         loss = loss_sum / accum
@@ -150,31 +164,43 @@ def make_train_step(cfg, optimizer, mesh=None, bf16=True,
         new_state = TrainState(step=state.step + 1, params=params,
                                opt_state=opt_state)
         gnorm = optax_global_norm(grads)
-        return new_state, {'loss': loss, 'grad_norm': gnorm}
+        metrics = {'loss': loss, 'grad_norm': gnorm}
+        if loss_has_aux:
+            metrics.update({k: jnp.mean(v) for k, v in extras.items()})
+        return new_state, metrics
 
     donate = (0,)
     if mesh is None:
-        return jax.jit(train_step, donate_argnums=donate)
-    b_shard = batch_sharding(mesh)
-    repl = NamedSharding(mesh, P())
-    return jax.jit(
-        train_step,
-        in_shardings=(None,
-                      jax.tree.map(lambda _: b_shard, {
-                          k: 0 for k in
-                          (('audio', 'alen', 'ys', 'ylen')
-                           if feature_pipeline is not None else
-                           ('xs', 'xlen', 'ys', 'ylen'))}),
-                      repl, repl),
-        donate_argnums=donate)
+        jitted = jax.jit(train_step, donate_argnums=donate)
+    else:
+        b_shard = batch_sharding(mesh)
+        repl = NamedSharding(mesh, P())
+        keys = batch_keys or (('audio', 'alen', 'ys', 'ylen')
+                              if feature_pipeline is not None else
+                              ('xs', 'xlen', 'ys', 'ylen'))
+        jitted = jax.jit(
+            train_step,
+            in_shardings=(None, {k: b_shard for k in keys}, repl, repl,
+                          None),
+            donate_argnums=donate)
+
+    def fn(state, batch, rng, lr, aux=None):
+        return jitted(state, batch, rng, lr, aux)
+
+    return fn
 
 
-def make_eval_step(cfg, mesh=None, feature_pipeline=None):
-    """Jitted eval step: (params, batch) → (loss, y_seq, out_len)."""
+def make_eval_step(cfg, mesh=None, feature_pipeline=None, feature_fn=None,
+                   batch_keys=None):
+    """Jitted eval step: (params, batch) → (loss, y_seq, out_len).
+    feature_fn(params, batch) → (xs, xlen) overrides the pipeline (used by
+    the raw-waveform path where the featurizer is a trainable FrontEnd)."""
     from edgedict_tpu.models.decoding import transducer_greedy_decode
 
     def eval_step(params, batch):
-        if feature_pipeline is not None:
+        if feature_fn is not None:
+            xs, xlen = feature_fn(params, batch)
+        elif feature_pipeline is not None:
             xs, xlen = feature_pipeline(batch['audio'], batch['alen'],
                                         train=False)
         else:
@@ -187,9 +213,10 @@ def make_eval_step(cfg, mesh=None, feature_pipeline=None):
     if mesh is None:
         return jax.jit(eval_step)
     b_shard = batch_sharding(mesh, with_accum_axis=False)
-    keys = (('audio', 'alen', 'ys', 'ylen')
-            if feature_pipeline is not None else
-            ('xs', 'xlen', 'ys', 'ylen'))
+    keys = batch_keys or (('audio', 'alen', 'ys', 'ylen')
+                          if (feature_pipeline is not None
+                              or feature_fn is not None) else
+                          ('xs', 'xlen', 'ys', 'ylen'))
     return jax.jit(eval_step,
                    in_shardings=(None, {k: b_shard for k in keys}))
 

@@ -92,26 +92,12 @@ class Trainer:
                 getattr(self.tokenizer, 'tokenizer', True) is None:
             self.tokenizer.build(self.train_dataset.texts())
 
-        # feature frontend runs ON DEVICE inside the train step
-        self.feature_cfg = FeatureConfig.from_flags(FLAGS)
-        self.pipeline = FeaturePipeline(self.feature_cfg)
-        self.cfg = T.TransducerConfig.from_flags(
-            FLAGS, vocab_size=self.tokenizer.vocab_size,
-            input_size=self.feature_cfg.input_size)
-
         self.mesh = mesh if mesh is not None else make_mesh(
             dp=FLAGS.dp_size, tp=FLAGS.tp_size)
         self.accum_steps = max(1, FLAGS.batch_size // FLAGS.sub_batch_size)
-
         self.optimizer = optim.build_optimizer(
             FLAGS.optim, lr=FLAGS.lr, gradclip=FLAGS.gradclip)
-        self.state = make_train_state(
-            jax.random.PRNGKey(0), self.cfg, self.optimizer, self.mesh)
-        self.train_step = make_train_step(
-            self.cfg, self.optimizer, self.mesh, bf16=FLAGS.bf16,
-            feature_pipeline=self.pipeline)
-        self.eval_step = make_eval_step(
-            self.cfg, self.mesh, feature_pipeline=self.pipeline)
+        self._build_model_and_steps()
 
         self.sched = optim.ReduceLROnPlateau(
             base_lr=FLAGS.lr, factor=FLAGS.sched_factor,
@@ -139,6 +125,24 @@ class Trainer:
             self.writer = None
         snapshot_flags(FLAGS, self.logdir)
         self._rng = jax.random.PRNGKey(1234)
+
+    # ------------------------------------------------------------------
+    def _build_model_and_steps(self):
+        """Default: on-device log-mel featurization + Transducer.
+        Overridden by RawTrainer (trainable conv FrontEnd)."""
+        FLAGS = self.FLAGS
+        self.feature_cfg = FeatureConfig.from_flags(FLAGS)
+        self.pipeline = FeaturePipeline(self.feature_cfg)
+        self.cfg = T.TransducerConfig.from_flags(
+            FLAGS, vocab_size=self.tokenizer.vocab_size,
+            input_size=self.feature_cfg.input_size)
+        self.state = make_train_state(
+            jax.random.PRNGKey(0), self.cfg, self.optimizer, self.mesh)
+        self.train_step = make_train_step(
+            self.cfg, self.optimizer, self.mesh, bf16=FLAGS.bf16,
+            feature_pipeline=self.pipeline)
+        self.eval_step = make_eval_step(
+            self.cfg, self.mesh, feature_pipeline=self.pipeline)
 
     # ------------------------------------------------------------------
     def _lr(self, step):

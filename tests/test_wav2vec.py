@@ -1,0 +1,141 @@
+"""wav2vec 2.0: FrontEnd torch-parity, mask planning, end-to-end loss."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from edgedict_tpu.models import wav2vec as W
+
+SPEC = ((10, 5, 8), (8, 4, 12), (4, 2, 16))
+
+
+def test_frontend_shapes_and_lengths():
+    key = jax.random.PRNGKey(0)
+    params = W.frontend_init(key, SPEC, bias=True)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 2000))
+    y = W.frontend_apply(params, x, SPEC)
+    assert y.shape[0] == 2 and y.shape[2] == 16
+    assert y.shape[1] == W.frontend_output_length(SPEC, 2000)
+    assert np.isfinite(np.asarray(y)).all()
+
+
+def test_frontend_torch_parity():
+    torch = pytest.importorskip('torch')
+    import torch.nn as nn
+
+    class TorchFrontEnd(nn.Module):
+        """Reference FrontEnd geometry (rnnt/models.py:313-365)."""
+
+        def __init__(self, spec, bias=True):
+            super().__init__()
+            self.spec = spec
+            convs, gns = [], []
+            in_ch = 1
+            for i, (k, s, c) in enumerate(spec):
+                convs.append(nn.Conv1d(in_ch, c, k, stride=s,
+                                       padding=k - 1, bias=bias))
+                if i > 0:
+                    gns.append(nn.GroupNorm(1, in_ch))
+                in_ch = c
+            self.convs = nn.ModuleList(convs)
+            self.gns = nn.ModuleList(gns)
+            self.ln = nn.LayerNorm(spec[-1][2])
+
+        def forward(self, x):
+            x = x.unsqueeze(1)
+            for i, conv in enumerate(self.convs):
+                if i > 0:
+                    x = torch.nn.functional.gelu(x)
+                    x = self.gns[i - 1](x)
+                x = conv(x)
+                x = x[:, :, :-conv.padding[0]]
+            return self.ln(x.transpose(1, 2))
+
+    torch.manual_seed(0)
+    oracle = TorchFrontEnd(SPEC).eval()
+    # import weights into our pytree
+    params = {'layers': [], 'ln': {
+        'scale': np.asarray(oracle.ln.weight.detach()),
+        'bias': np.asarray(oracle.ln.bias.detach())}}
+    for i, conv in enumerate(oracle.convs):
+        layer = {'w': np.asarray(conv.weight.detach()),
+                 'b': np.asarray(conv.bias.detach())}
+        if i > 0:
+            gn = oracle.gns[i - 1]
+            layer['gn'] = {'scale': np.asarray(gn.weight.detach()),
+                           'bias': np.asarray(gn.bias.detach())}
+        params['layers'].append(layer)
+
+    x = np.random.RandomState(0).randn(2, 1500).astype(np.float32)
+    with torch.no_grad():
+        want = oracle(torch.from_numpy(x)).numpy()
+    got = np.asarray(W.frontend_apply(
+        jax.tree.map(jnp.asarray, params), jnp.asarray(x), SPEC))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_compute_mask_indices_properties():
+    rng = np.random.RandomState(0)
+    mask = W.compute_mask_indices((4, 100), None, mask_prob=0.3,
+                                  mask_length=5, min_masks=2, rng=rng)
+    counts = mask.sum(axis=1)
+    assert (counts == counts[0]).all()      # equalized per row
+    assert counts[0] > 0
+    idx = W.mask_to_dense_indices(mask)
+    assert idx.shape == (4, counts[0])
+    for i in range(4):
+        assert mask[i, idx[i]].all()
+
+
+def test_negative_sampling_excludes_self():
+    idxs = np.asarray(W.sample_negative_indices(
+        jax.random.PRNGKey(0), 2, 10, 5))
+    assert idxs.shape == (2, 50)
+    tszs = np.repeat(np.arange(10), 5)
+    assert (idxs != tszs[None, :]).all()
+    assert (idxs >= 0).all() and (idxs < 10).all()
+
+
+def test_wav2vec_forward_and_loss_grad():
+    cfg = W.Wav2VecConfig(
+        frontend_params=SPEC, input_size=16, enc_hidden_size=16,
+        enc_layers=2, enc_dropout=0.0, enc_proj_size=16,
+        num_negatives=4, latent_vars=8, latent_groups=2, final_dim=8)
+    params = W.wav2vec_init(jax.random.PRNGKey(0), cfg)
+    source = jax.random.normal(jax.random.PRNGKey(1), (2, 2000))
+    t_frames = W.frontend_output_length(SPEC, 2000)
+    mask = W.compute_mask_indices((2, t_frames), None, 0.4, 3, min_masks=2,
+                                  rng=np.random.RandomState(0))
+    mask_idx = jnp.asarray(W.mask_to_dense_indices(mask))
+
+    def loss_fn(p, rng):
+        res = W.wav2vec_forward(p, cfg, source, mask_idx, temp=1.0,
+                                rng=rng, training=True)
+        loss, metrics = W.contrastive_loss(res)
+        return loss, metrics
+
+    (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        params, jax.random.PRNGKey(2))
+    assert np.isfinite(float(loss))
+    assert 0 <= int(metrics['correct']) <= int(metrics['count'])
+    # gradient flows into codebook (through the ST Gumbel) and mask_emb
+    gnorm = float(jnp.linalg.norm(grads['quantizer']['vars']))
+    assert np.isfinite(gnorm) and gnorm > 0
+    assert float(jnp.linalg.norm(grads['mask_emb'])) > 0
+
+
+def test_kmeans_vq():
+    cfg = W.KmeansVQConfig(dim=16, num_vars=8, groups=2, vq_dim=8)
+    params = W.kmeans_vq_init(jax.random.PRNGKey(0), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 6, 16))
+
+    def loss_fn(p):
+        out = W.kmeans_vq_apply(p, cfg, x, produce_targets=True)
+        return out['kmeans_loss'] + jnp.mean(out['x'] ** 2), out
+
+    (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+    assert np.isfinite(float(loss))
+    assert out['targets'].shape == (2, 6, 2)
+    assert float(jnp.linalg.norm(grads['embedding'])) > 0  # latent loss
+    assert float(jnp.linalg.norm(grads['proj'])) > 0       # STE + commit
