@@ -1,0 +1,128 @@
+"""Beam search: greedy equivalence at W=1, score ordering, LM fusion."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from edgedict_tpu.models import transducer as T
+from edgedict_tpu.models.beam_search import (
+    beam_search_from_encoder, transducer_beam_search)
+from edgedict_tpu.models.decoding import (
+    greedy_decode_from_encoder, truncate_and_strip)
+from edgedict_tpu.models.lm import LMConfig, lm_apply, lm_init, lm_loss
+
+CFG = T.TransducerConfig(
+    vocab_size=12, vocab_embed_size=8, input_size=10,
+    enc_hidden_size=16, enc_layers=2, enc_proj_size=12,
+    dec_hidden_size=16, dec_layers=1, dec_proj_size=12,
+    joint_size=16, enc_time_reductions=(1,))
+
+
+def _oracle_best_path(params, cfg, h_enc):
+    """Brute-force best path with ≤1 label per frame: per frame either
+    blank, or one label followed by blank.  Returns (tokens, logp)."""
+    import itertools
+    Tn = h_enc.shape[1]
+    V = cfg.vocab_size
+    labels = [v for v in range(V) if v != cfg.blank]
+
+    empty = jnp.zeros((1, 0), jnp.int32)
+    h_dec0, st0 = T.decoder_apply(params['decoder'], cfg, empty)
+
+    best = (None, -np.inf)
+    for choice in itertools.product([None] + labels, repeat=Tn):
+        h_dec, st = h_dec0[:, 0], st0
+        score, toks = 0.0, []
+        for t, v in enumerate(choice):
+            lp = np.asarray(jax.nn.log_softmax(
+                T.joint_apply(params['joint'], h_enc[:, t], h_dec)[0]))
+            if v is None:
+                score += lp[cfg.blank]
+            else:
+                score += lp[v]
+                h_dec_new, st = T.decoder_apply(
+                    params['decoder'], cfg,
+                    jnp.asarray([[v]], jnp.int32), st)
+                h_dec = h_dec_new[:, 0]
+                lp2 = np.asarray(jax.nn.log_softmax(
+                    T.joint_apply(params['joint'], h_enc[:, t], h_dec)[0]))
+                score += lp2[cfg.blank]
+                toks.append(v)
+        if score > best[1]:
+            best = (toks, float(score))
+    return best
+
+
+def test_beam_matches_bruteforce_oracle():
+    """A wide beam must find the exact best bounded-alignment path."""
+    cfg = T.TransducerConfig(
+        vocab_size=4, vocab_embed_size=4, input_size=6,
+        enc_hidden_size=8, enc_layers=1, enc_proj_size=6,
+        dec_hidden_size=8, dec_layers=1, dec_proj_size=6,
+        joint_size=8, enc_time_reductions=())
+    params = T.transducer_init(jax.random.PRNGKey(0), cfg)
+    h_enc = jax.random.normal(jax.random.PRNGKey(1), (1, 3, 6))
+
+    oracle_toks, oracle_logp = _oracle_best_path(params, cfg, h_enc)
+    toks, n_tok, logp = beam_search_from_encoder(
+        params, cfg, h_enc, beam_width=64, max_sym_per_frame=1,
+        max_tokens=8)
+    assert abs(float(logp[0]) - oracle_logp) < 1e-4, \
+        (float(logp[0]), oracle_logp)
+    np.testing.assert_array_equal(
+        np.asarray(toks[0][:int(n_tok[0])]), oracle_toks)
+
+
+def test_wider_beam_no_worse_score():
+    """The best beam-search path log-prob must be ≥ the greedy path's."""
+    params = T.transducer_init(jax.random.PRNGKey(2), CFG)
+    h_enc = jax.random.normal(jax.random.PRNGKey(3), (1, 8, 12))
+    _, _, logp1 = beam_search_from_encoder(params, CFG, h_enc,
+                                           beam_width=1,
+                                           max_sym_per_frame=2)
+    _, _, logp8 = beam_search_from_encoder(params, CFG, h_enc,
+                                           beam_width=8,
+                                           max_sym_per_frame=2)
+    assert float(logp8[0]) >= float(logp1[0]) - 1e-4
+
+
+def test_beam_search_jit_and_xlen():
+    params = T.transducer_init(jax.random.PRNGKey(4), CFG)
+    xs = jax.random.normal(jax.random.PRNGKey(5), (2, 16, 10))
+    xlen = jnp.asarray([16, 8])
+    fn = jax.jit(lambda p, x, l: transducer_beam_search(
+        p, CFG, x, l, beam_width=4, max_sym_per_frame=2, max_tokens=32))
+    toks, n_tok, logp = fn(params, xs, xlen)
+    assert toks.shape == (2, 32)
+    assert np.isfinite(np.asarray(logp)).all()
+    assert int(n_tok[1]) <= 2 * 8      # ≤ max_sym * valid frames
+
+    # shorter xlen must decode identically to truncated input
+    toks2, n2, _ = transducer_beam_search(
+        params, CFG, xs[1:, :8], jnp.asarray([8]), beam_width=4,
+        max_sym_per_frame=2, max_tokens=32)
+    np.testing.assert_array_equal(
+        np.asarray(toks[1][:int(n_tok[1])]),
+        np.asarray(toks2[0][:int(n2[0])]))
+
+
+def test_lm_loss_and_fusion():
+    lm_cfg = LMConfig(vocab_size=12, embed_size=8, hidden_size=8,
+                      num_layers=1)
+    lm_params = lm_init(jax.random.PRNGKey(0), lm_cfg)
+    ys = jnp.asarray([[2, 4, 5, 6, 1], [2, 7, 8, 1, 1]], jnp.int32)
+    ylen = jnp.asarray([4, 3])
+    loss = lm_loss(lm_params, lm_cfg, ys, ylen)
+    assert np.isfinite(float(loss)) and float(loss) > 0
+
+    logp, state = lm_apply(lm_params, lm_cfg, ys[:, :2])
+    assert logp.shape == (2, 2, 12)
+    np.testing.assert_allclose(np.exp(np.asarray(logp)).sum(-1), 1.0,
+                               rtol=1e-4)
+
+    params = T.transducer_init(jax.random.PRNGKey(1), CFG)
+    h_enc = jax.random.normal(jax.random.PRNGKey(2), (1, 6, 12))
+    toks, n_tok, logp = beam_search_from_encoder(
+        params, CFG, h_enc, beam_width=4, max_sym_per_frame=2,
+        lm=(lm_params, lm_cfg, 0.3))
+    assert np.isfinite(float(logp[0]))
