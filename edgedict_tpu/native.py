@@ -1,0 +1,160 @@
+"""ctypes bindings for the native C++ libraries in native/.
+
+Build with `make -C native`.  Every binding degrades gracefully: when a .so
+is missing, the pure-Python/JAX implementation is used instead (and
+`available()` reports what is loaded).
+
+Components (SURVEY.md §2.3 native inventory):
+  * librnnt_loss   — warp-transducer-equivalent CPU alpha/beta lattice loss
+                     with fused analytic gradient (OpenMP over batch); the
+                     numerical cross-check leg of the loss parity ladder
+  * libchar_bpe    — CharBPE greedy merge-rank engine (HF `tokenizers`
+                     replacement backend)
+  * libbucketing   — batch_by_size / batch_fixed_shapes (the Cython
+                     data_utils_fast equivalent)
+"""
+
+import ctypes
+import os
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), 'native')
+
+
+def _load(name):
+    path = os.path.join(_NATIVE_DIR, name)
+    if not os.path.exists(path):
+        return None
+    try:
+        return ctypes.CDLL(path)
+    except OSError:
+        return None
+
+
+_rnnt = _load('librnnt_loss.so')
+_bpe = _load('libchar_bpe.so')
+_bucket = _load('libbucketing.so')
+
+if _rnnt is not None:
+    _rnnt.rnnt_loss_cpu.restype = ctypes.c_int
+if _bpe is not None:
+    _bpe.bpe_create.restype = ctypes.c_void_p
+    _bpe.bpe_encode_word.restype = ctypes.c_int
+if _bucket is not None:
+    _bucket.batch_by_size.restype = ctypes.c_int
+    _bucket.batch_fixed_shapes.restype = ctypes.c_int
+
+
+def available():
+    return {'rnnt_loss': _rnnt is not None, 'char_bpe': _bpe is not None,
+            'bucketing': _bucket is not None}
+
+
+def _ptr(a, ty):
+    return a.ctypes.data_as(ctypes.POINTER(ty))
+
+
+# ---------------------------------------------------------------------------
+# RNN-T loss
+# ---------------------------------------------------------------------------
+
+def rnnt_loss_cpu(logits, labels, xlen, ylen, blank=0, with_grad=True):
+    """Native per-sample loss (B,) and optional grad (B,T,U1,V)."""
+    assert _rnnt is not None, 'build native/librnnt_loss.so first'
+    logits = np.ascontiguousarray(logits, np.float32)
+    labels = np.ascontiguousarray(labels, np.int32)
+    xlen = np.ascontiguousarray(xlen, np.int32)
+    ylen = np.ascontiguousarray(ylen, np.int32)
+    b, t, u1, v = logits.shape
+    loss = np.zeros((b,), np.float32)
+    grad = np.zeros_like(logits) if with_grad else None
+    ret = _rnnt.rnnt_loss_cpu(
+        _ptr(logits, ctypes.c_float), _ptr(labels, ctypes.c_int32),
+        _ptr(xlen, ctypes.c_int32), _ptr(ylen, ctypes.c_int32),
+        b, t, u1, v, blank, _ptr(loss, ctypes.c_float),
+        _ptr(grad, ctypes.c_float) if with_grad else None)
+    assert ret == 0
+    return (loss, grad) if with_grad else loss
+
+
+# ---------------------------------------------------------------------------
+# CharBPE
+# ---------------------------------------------------------------------------
+
+class NativeBPE:
+    """Merge engine over int32 symbol ids (Unicode handled by the caller)."""
+
+    def __init__(self, merges_ids):
+        """merges_ids: list of (left_id, right_id, merged_id)."""
+        assert _bpe is not None, 'build native/libchar_bpe.so first'
+        arr = np.ascontiguousarray(merges_ids, np.int32).reshape(-1, 3)
+        self._handle = ctypes.c_void_p(_bpe.bpe_create(
+            len(arr), _ptr(np.ascontiguousarray(arr[:, 0]), ctypes.c_int32),
+            _ptr(np.ascontiguousarray(arr[:, 1]), ctypes.c_int32),
+            _ptr(np.ascontiguousarray(arr[:, 2]), ctypes.c_int32)))
+
+    def encode_word(self, sym_ids):
+        syms = np.ascontiguousarray(sym_ids, np.int32)
+        out = np.zeros((max(len(syms), 1),), np.int32)
+        n = _bpe.bpe_encode_word(self._handle, _ptr(syms, ctypes.c_int32),
+                                 len(syms), _ptr(out, ctypes.c_int32))
+        return out[:n].tolist()
+
+    def __del__(self):
+        if _bpe is not None and getattr(self, '_handle', None):
+            _bpe.bpe_destroy(self._handle)
+            self._handle = None
+
+
+# ---------------------------------------------------------------------------
+# bucketing
+# ---------------------------------------------------------------------------
+
+def batch_by_size(indices, num_tokens, max_tokens=None, max_sentences=None,
+                  bsz_mult=1):
+    """Greedy token-budget batching → list of index lists."""
+    assert _bucket is not None, 'build native/libbucketing.so first'
+    indices = np.ascontiguousarray(indices, np.int64)
+    num_tokens = np.ascontiguousarray(num_tokens, np.int64)
+    n = len(indices)
+    out_idx = np.zeros((n,), np.int64)
+    out_sizes = np.zeros((n,), np.int64)
+    nb = _bucket.batch_by_size(
+        _ptr(indices, ctypes.c_int64), _ptr(num_tokens, ctypes.c_int64),
+        n, max_tokens or -1, max_sentences or -1, bsz_mult,
+        _ptr(out_idx, ctypes.c_int64), _ptr(out_sizes, ctypes.c_int64))
+    batches, pos = [], 0
+    for i in range(nb):
+        sz = int(out_sizes[i])
+        batches.append(out_idx[pos:pos + sz].tolist())
+        pos += sz
+    return batches
+
+
+def batch_fixed_shapes(indices, num_tokens, shapes):
+    """Pack into a menu of (batch_size, max_len) shapes → list of
+    (index_list, shape_row)."""
+    assert _bucket is not None, 'build native/libbucketing.so first'
+    indices = np.ascontiguousarray(indices, np.int64)
+    num_tokens = np.ascontiguousarray(num_tokens, np.int64)
+    shapes_a = np.ascontiguousarray(shapes, np.int64).reshape(-1, 2)
+    # menu must be sorted by max_len ascending
+    shapes_a = shapes_a[np.argsort(shapes_a[:, 1])]
+    n = len(indices)
+    out_idx = np.zeros((n,), np.int64)
+    out_sizes = np.zeros((n,), np.int64)
+    out_shape_ids = np.zeros((n,), np.int64)
+    nb = _bucket.batch_fixed_shapes(
+        _ptr(indices, ctypes.c_int64), _ptr(num_tokens, ctypes.c_int64),
+        n, _ptr(shapes_a, ctypes.c_int64), len(shapes_a),
+        _ptr(out_idx, ctypes.c_int64), _ptr(out_sizes, ctypes.c_int64),
+        _ptr(out_shape_ids, ctypes.c_int64))
+    batches, pos = [], 0
+    for i in range(nb):
+        sz = int(out_sizes[i])
+        batches.append((out_idx[pos:pos + sz].tolist(),
+                        tuple(shapes_a[int(out_shape_ids[i])])))
+        pos += sz
+    return batches

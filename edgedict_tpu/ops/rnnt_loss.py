@@ -274,7 +274,10 @@ def rnnt_loss_reference(logits, labels, xlen, ylen, blank=0):
             if t > 0:
                 prev = jnp.logaddexp(
                     prev, alpha[:, t - 1, u] + blank_m[:, t - 1, u])
-            if u > 0:
+            if u > 0 and t < T:
+                # label transitions exist only at t < T (jnp would silently
+                # CLAMP an out-of-bounds t == T read to t == T−1, admitting
+                # phantom paths — caught by the C++/brute-force cross-check)
                 prev = jnp.logaddexp(
                     prev, alpha[:, t, u - 1] + label_m[:, t, u - 1])
             alpha = alpha.at[:, t, u].set(prev)

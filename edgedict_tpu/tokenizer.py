@@ -151,6 +151,26 @@ class CharBPE:
 
     # -- core BPE --
 
+    def _native_engine(self):
+        """Lazily build the C++ merge engine (native/libchar_bpe.so) over
+        vocab ids; None when the lib or any merge target is unavailable."""
+        if getattr(self, '_native', False) is False:
+            self._native = None
+            try:
+                from edgedict_tpu.native import NativeBPE, available
+                if available()['char_bpe']:
+                    merges_ids = []
+                    for a, b in self.merges:
+                        ia, ib = self.vocab.get(a), self.vocab.get(b)
+                        im = self.vocab.get(a + b)
+                        if None in (ia, ib, im):
+                            return self._native
+                        merges_ids.append((ia, ib, im))
+                    self._native = NativeBPE(merges_ids)
+            except Exception:
+                self._native = None
+        return self._native
+
     def _bpe_word(self, word):
         """Split one word into BPE symbols (word excludes whitespace)."""
         cached = self._cache.get(word)
@@ -158,6 +178,15 @@ class CharBPE:
             return cached
         symbols = list(word)
         symbols[-1] = symbols[-1] + WORD_END
+        engine = self._native_engine()
+        if engine is not None:
+            sym_ids = [self.vocab.get(s) for s in symbols]
+            if None not in sym_ids:       # unknown chars → python fallback
+                out = [self.inv_vocab[i]
+                       for i in engine.encode_word(sym_ids)]
+                if len(self._cache) < 1 << 20:
+                    self._cache[word] = out
+                return out
         while len(symbols) > 1:
             best_rank, best_i = None, None
             for i in range(len(symbols) - 1):

@@ -1,0 +1,100 @@
+"""Native C++ components: the three-way RNN-T loss parity ladder, CharBPE
+engine parity, bucketing behavior."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from edgedict_tpu import native
+
+pytestmark = pytest.mark.skipif(
+    not all(native.available().values()),
+    reason='native libs not built (make -C native)')
+
+
+def _random_lattice(rng, b=3, t=6, u=4, v=8):
+    logits = rng.randn(b, t, u + 1, v).astype(np.float32)
+    labels = rng.randint(1, v, (b, u)).astype(np.int32)
+    xlen = np.asarray([t, t - 1, t - 2], np.int32)[:b]
+    ylen = np.asarray([u, u - 1, u - 2], np.int32)[:b]
+    return logits, labels, xlen, ylen
+
+
+def test_rnnt_loss_three_way_parity():
+    """C++ CPU == pure-lax reference == production associative-scan loss,
+    for values AND gradients (SURVEY.md §7 step 3 parity ladder)."""
+    from edgedict_tpu.ops.rnnt_loss import rnnt_loss, rnnt_loss_reference
+    rng = np.random.RandomState(0)
+    logits, labels, xlen, ylen = _random_lattice(rng)
+
+    loss_cpp, grad_cpp = native.rnnt_loss_cpu(logits, labels, xlen, ylen,
+                                              blank=0)
+    loss_ref = np.asarray(rnnt_loss_reference(
+        jnp.asarray(logits), jnp.asarray(labels), jnp.asarray(xlen),
+        jnp.asarray(ylen)))
+    loss_prod = np.asarray(rnnt_loss(
+        jnp.asarray(logits), jnp.asarray(labels), jnp.asarray(xlen),
+        jnp.asarray(ylen)))
+    np.testing.assert_allclose(loss_cpp, loss_ref, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(loss_cpp, loss_prod, rtol=1e-4, atol=1e-4)
+
+    grad_prod = np.asarray(jax.grad(
+        lambda lg: jnp.sum(rnnt_loss(lg, jnp.asarray(labels),
+                                     jnp.asarray(xlen),
+                                     jnp.asarray(ylen))))(
+        jnp.asarray(logits)))
+    np.testing.assert_allclose(grad_cpp, grad_prod, rtol=1e-3, atol=1e-4)
+
+    grad_ref = np.asarray(jax.grad(
+        lambda lg: jnp.sum(rnnt_loss_reference(lg, jnp.asarray(labels),
+                                               jnp.asarray(xlen),
+                                               jnp.asarray(ylen))))(
+        jnp.asarray(logits)))
+    np.testing.assert_allclose(grad_cpp, grad_ref, rtol=1e-3, atol=1e-4)
+
+
+def test_native_bpe_matches_python():
+    """Native merge engine == pure-Python CharBPE on random merge tables."""
+    from edgedict_tpu.tokenizer import CharBPE
+    vocab = {'<nul>': 0, '<pad>': 1, '<bos>': 2, '<unk>': 3}
+    for ch in 'abcd':
+        vocab[ch] = len(vocab)
+        vocab[ch + '</w>'] = len(vocab)
+    merges = [('a', 'b'), ('ab', 'c</w>'), ('c', 'd</w>'), ('b', 'c</w>')]
+    for left, right in merges:
+        vocab.setdefault(left + right, len(vocab))
+    py = CharBPE(vocab, merges)
+
+    # build the id-level merge table for the native engine
+    merges_ids = [(vocab[l], vocab[r], vocab[l + r]) for l, r in merges]
+    nat = native.NativeBPE(merges_ids)
+
+    inv = {v: k for k, v in vocab.items()}
+    for word in ['abc', 'abcd', 'bc', 'dcba', 'a', 'abab']:
+        want = py._bpe_word(word)           # list of token strings
+        syms = [c for c in word[:-1]] + [word[-1] + '</w>']
+        got_ids = nat.encode_word([vocab[s] for s in syms])
+        got = [inv[i] for i in got_ids]
+        assert got == want, (word, got, want)
+
+
+def test_batch_by_size_token_budget():
+    lengths = [5, 5, 5, 9, 9, 20]
+    batches = native.batch_by_size(list(range(6)), lengths, max_tokens=20)
+    flat = [i for b in batches for i in b]
+    assert sorted(flat) == list(range(6))
+    for b in batches:
+        max_len = max(lengths[i] for i in b)
+        assert max_len * len(b) <= 20 or len(b) == 1
+
+
+def test_batch_fixed_shapes_menu():
+    lengths = [20, 18, 9, 9, 8, 5, 4]           # sorted descending
+    shapes = [(2, 24), (4, 12), (8, 6)]
+    batches = native.batch_fixed_shapes(list(range(7)), lengths, shapes)
+    flat = [i for b, _ in batches for i in b]
+    assert sorted(flat) == list(range(7))
+    for idxs, (bsz, max_len) in batches:
+        assert len(idxs) <= bsz
+        assert all(lengths[i] <= max_len for i in idxs)
