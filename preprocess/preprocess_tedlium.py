@@ -1,0 +1,65 @@
+"""TEDLIUM prep (reference preprocess/preprocess_tedlium{1,3}.py): cut each
+talk's .sph audio into utterance wavs using the .stm segmentation and write
+wav/labels.txt in the layout the TEDLIUM dataset adapter expects
+(<root>/wav/<utt>.wav + <root>/wav/labels.txt).
+
+  python -m preprocess.preprocess_tedlium --root .../TEDLIUM_release1/train
+"""
+
+import argparse
+import os
+import subprocess
+
+
+def parse_stm(path):
+    """Yield (start, end, text) utterances from one .stm file."""
+    utts = []
+    with open(path, errors='ignore') as f:
+        for line in f:
+            parts = line.split(None, 6)
+            if len(parts) < 7 or 'ignore_time_segment' in parts[6]:
+                continue
+            start, end, text = float(parts[3]), float(parts[4]), parts[6]
+            text = text.replace(" '", "'").strip()
+            if text:
+                utts.append((start, end, text))
+    return utts
+
+
+def cut(sph_path, start, end, wav_path):
+    return subprocess.call(
+        ['ffmpeg', '-loglevel', 'quiet', '-y', '-i', sph_path,
+         '-ss', f'{start:.2f}', '-to', f'{end:.2f}',
+         '-ar', '16000', '-ac', '1', wav_path]) == 0
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--root', required=True,
+                    help='TEDLIUM release split dir containing sph/ + stm/')
+    args = ap.parse_args()
+    sph_dir = os.path.join(args.root, 'sph')
+    stm_dir = os.path.join(args.root, 'stm')
+    out_dir = os.path.join(args.root, 'wav')
+    os.makedirs(out_dir, exist_ok=True)
+
+    labels = []
+    for stm in sorted(os.listdir(stm_dir)):
+        if not stm.endswith('.stm'):
+            continue
+        talk = stm[:-4]
+        sph = os.path.join(sph_dir, talk + '.sph')
+        if not os.path.exists(sph):
+            continue
+        for i, (start, end, text) in enumerate(
+                parse_stm(os.path.join(stm_dir, stm))):
+            name = f'{talk}-{i:04d}.wav'
+            if cut(sph, start, end, os.path.join(out_dir, name)):
+                labels.append(f'{name} {text}')
+    with open(os.path.join(out_dir, 'labels.txt'), 'w') as f:
+        f.write('\n'.join(labels) + '\n')
+    print(f'wrote {len(labels)} utterances to {out_dir}')
+
+
+if __name__ == '__main__':
+    main()
