@@ -1,0 +1,298 @@
+"""Pallas TPU kernel for the RNN-T lattice loss — the production fused path.
+
+This is the TPU-native answer to warp-transducer's fused CUDA kernel
+(SURVEY.md §2.3, §7 hard-part #1).  Two kernels:
+
+  * alpha kernel — forward lattice.  Rows of the (T+1, U+1) alpha grid are
+    computed sequentially over t; the within-row first-order log-semiring
+    recurrence  a[u] = b[u] ⊕ (c[u] + a[u−1])  is solved in log2(U) lane-
+    shift doubling steps on the VPU (pltpu.roll + masked logaddexp).  Each
+    grid program holds a (B_tile, T, 128·k) problem entirely in VMEM.
+  * beta+grad kernel — backward lattice with the SAME doubling trick run
+    right-to-left, fused with the occupancy computation: gradients w.r.t.
+    the blank/label transition log-probs are emitted row by row as beta is
+    formed, exactly like warp-transducer's fused backward.
+
+Wrapped in `jax.custom_vjp` as `rnnt_loss_core_pallas(blank_lp, label_lp,
+xlen, ylen)` — a drop-in for the associative-scan `rnnt_loss_core` in
+rnnt_loss.py (same masked-transition convention, same semantics; parity
+ladder: pure-lax oracle ↔ C++ CPU ↔ associative-scan ↔ THIS).
+
+On non-TPU backends the kernels run in Pallas interpret mode (slow but
+correct), keeping the test suite hermetic on CPU.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from edgedict_tpu.ops.rnnt_loss import NEG, _masked_transitions
+
+B_TILE = 8
+LANES = 128
+
+
+def _shift_right(x, s, fill):
+    """x[..., u] ← x[..., u−s], fill entering lanes."""
+    rolled = pltpu.roll(x, shift=s, axis=1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    return jnp.where(lane < s, fill, rolled)
+
+
+def _shift_left(x, s, fill):
+    rolled = pltpu.roll(x, shift=x.shape[1] - s, axis=1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    return jnp.where(lane >= x.shape[1] - s, fill, rolled)
+
+
+def _row_scan_fwd(b, c, u1):
+    """Solve a[u] = b[u] ⊕ (c[u] + a[u−1]), a[−1] = −inf, via doubling."""
+    s = 1
+    while s < u1:
+        b = jnp.logaddexp(b, c + _shift_right(b, s, NEG))
+        c = c + _shift_right(c, s, NEG)
+        s *= 2
+    return b
+
+
+def _row_scan_rev(b, c, u1):
+    """Solve a[u] = b[u] ⊕ (c[u] + a[u+1]), a[U] = −inf (reverse)."""
+    s = 1
+    while s < u1:
+        b = jnp.logaddexp(b, c + _shift_left(b, s, NEG))
+        c = c + _shift_left(c, s, NEG)
+        s *= 2
+    return b
+
+
+def _alpha_kernel(blank_ref, labsh_ref, xlen_ref, ylen_ref,
+                  alpha_ref, logz_ref, *, t_len, u1):
+    """blank_ref (Bt, T, U1); labsh_ref (Bt, T+1, U1) pre-shifted label
+    log-probs (labsh[t, u] = label[t, u−1], NEG at u=0 and at row T);
+    alpha_ref out (Bt, T+1, U1); logz_ref out (Bt, 1)."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, (B_TILE, u1), 1)
+    ylen = ylen_ref[:, :1]                       # (Bt, 1) int32
+    xlen = xlen_ref[:, :1]
+
+    logz_ref[:, :] = jnp.full((B_TILE, 1), NEG, jnp.float32)
+
+    # row 0: a[u] = (u==0 ? 0 : NEG) ⊕ chain of labels
+    b0 = jnp.where(lane == 0, 0.0, NEG)
+    row = _row_scan_fwd(b0, labsh_ref[:, 0, :], u1)
+    alpha_ref[:, 0, :] = row
+
+    def body(t, row_prev):
+        b = row_prev + blank_ref[:, t - 1, :]
+        row = _row_scan_fwd(b, labsh_ref[:, t, :], u1)
+        alpha_ref[:, t, :] = row
+        # harvest logz where t == xlen (per batch row)
+        hit = (xlen == t) & (lane == ylen)
+        logz_ref[:, :] = jnp.where(
+            jnp.any(hit, axis=1, keepdims=True),
+            jnp.sum(jnp.where(hit, row, 0.0), axis=1, keepdims=True),
+            logz_ref[:, :])
+        return row
+
+    row = jax.lax.fori_loop(1, t_len + 1, body, row)
+    # xlen == 0 edge: logz = alpha[0, ylen]
+    hit0 = (xlen == 0) & (lane == ylen)
+    logz_ref[:, :] = jnp.where(
+        jnp.any(hit0, axis=1, keepdims=True),
+        jnp.sum(jnp.where(hit0, alpha_ref[:, 0, :], 0.0), axis=1,
+                keepdims=True),
+        logz_ref[:, :])
+
+
+def _beta_grad_kernel(blank_ref, label_ref, alpha_ref, logz_ref, xlen_ref,
+                      ylen_ref, gb_ref, gl_ref, beta_next_ref, *,
+                      t_len, u1):
+    """Backward lattice fused with occupancy gradients.
+
+    blank/label (Bt, T, U1) masked transition log-probs (label col U is
+    NEG); alpha (Bt, T+1, U1); outputs gb/gl (Bt, T, U1) = ∂(−logz)/∂lp
+    scaled by +1 (caller applies the cotangent); beta_next_ref is a
+    (Bt, U1) VMEM scratch carrying beta row t+1.
+    """
+    lane = jax.lax.broadcasted_iota(jnp.int32, (B_TILE, u1), 1)
+    ylen = ylen_ref[:, :1]
+    xlen = xlen_ref[:, :1]
+    logz = logz_ref[:, :1]
+
+    # beta row T: only terminal (t==xlen==T, u==ylen) contributes
+    term_T = jnp.where((xlen == t_len) & (lane == ylen), 0.0, NEG)
+    beta_next_ref[:, :] = term_T
+
+    def body(i, _):
+        t = t_len - 1 - i
+        beta_next = beta_next_ref[:, :]
+        blank_row = blank_ref[:, t, :]
+        label_row = label_ref[:, t, :]
+        # in-row reverse recurrence:
+        #   beta[t,u] = B[u] ⊕ (label[t,u] + beta[t,u+1])
+        #   B[u] = (blank[t,u] + beta[t+1,u]) ⊕ terminal(t,u)
+        term = jnp.where((xlen == t) & (lane == ylen), 0.0, NEG)
+        b = jnp.logaddexp(blank_row + beta_next, term)
+        beta_row = _row_scan_rev(b, label_row, u1)
+
+        # occupancies → gradients (warp-transducer's fused backward)
+        alpha_row = alpha_ref[:, t, :]
+        gb_ref[:, t, :] = jnp.exp(alpha_row + blank_row + beta_next - logz)
+        beta_up = _shift_left(beta_row, 1, NEG)
+        gl_ref[:, t, :] = jnp.exp(alpha_row + label_row + beta_up - logz)
+
+        beta_next_ref[:, :] = beta_row
+        return 0
+
+    jax.lax.fori_loop(0, t_len, body, 0)
+
+
+def _pad_to(x, size, axis, value):
+    pad = size - x.shape[axis]
+    if pad <= 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths, constant_values=value)
+
+
+def _prep(blank_lp, label_lp, xlen, ylen):
+    """Mask + pad to (B′, T, U1′) tiles; build the pre-shifted label rows."""
+    blank_m, label_m = _masked_transitions(blank_lp, label_lp, xlen, ylen)
+    B, T, U1 = blank_m.shape
+    u1p = max(LANES, -(-U1 // LANES) * LANES)
+    bp = -(-B // B_TILE) * B_TILE
+
+    label_full = _pad_to(label_m, U1, 2, NEG)        # col U → NEG
+    blank_m = _pad_to(_pad_to(blank_m, u1p, 2, NEG), bp, 0, NEG)
+    label_full = _pad_to(_pad_to(label_full, u1p, 2, NEG), bp, 0, NEG)
+
+    # labsh[t, u] = label[t, u−1]; extra NEG row at t = T (no label
+    # transitions at t == T — the convention the C++ cross-check enforced)
+    labsh = jnp.pad(label_full, ((0, 0), (0, 1), (0, 0)),
+                    constant_values=NEG)
+    labsh = jnp.concatenate(
+        [jnp.full((bp, T + 1, 1), NEG), labsh[:, :, :-1]], axis=2)
+    labsh = jnp.where(jnp.arange(T + 1)[None, :, None] == T, NEG, labsh)
+
+    xlen_p = _pad_to(xlen.astype(jnp.int32)[:, None], bp, 0, 0)
+    ylen_p = _pad_to(ylen.astype(jnp.int32)[:, None], bp, 0, 0)
+    return blank_m, label_full, labsh, xlen_p, ylen_p, (B, T, U1, u1p, bp)
+
+
+def _interpret():
+    return jax.default_backend() != 'tpu'
+
+
+def _run_alpha(blank_m, labsh, xlen_p, ylen_p, dims):
+    B, T, U1, u1p, bp = dims
+    grid = (bp // B_TILE,)
+    kernel = functools.partial(_alpha_kernel, t_len=T, u1=u1p)
+    alpha, logz = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((B_TILE, T, u1p), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B_TILE, T + 1, u1p), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B_TILE, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B_TILE, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((B_TILE, T + 1, u1p), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B_TILE, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bp, T + 1, u1p), jnp.float32),
+            jax.ShapeDtypeStruct((bp, 1), jnp.float32),
+        ],
+        interpret=_interpret(),
+    )(blank_m, labsh, xlen_p, ylen_p)
+    return alpha, logz
+
+
+def _run_beta_grad(blank_m, label_full, alpha, logz, xlen_p, ylen_p, dims):
+    B, T, U1, u1p, bp = dims
+    grid = (bp // B_TILE,)
+    kernel = functools.partial(_beta_grad_kernel, t_len=T, u1=u1p)
+    gb, gl = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((B_TILE, T, u1p), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B_TILE, T, u1p), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B_TILE, T + 1, u1p), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B_TILE, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B_TILE, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B_TILE, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((B_TILE, T, u1p), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B_TILE, T, u1p), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bp, T, u1p), jnp.float32),
+            jax.ShapeDtypeStruct((bp, T, u1p), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((B_TILE, u1p), jnp.float32)],
+        interpret=_interpret(),
+    )(blank_m, label_full, alpha, logz, xlen_p, ylen_p)
+    return gb, gl
+
+
+@jax.custom_vjp
+def rnnt_loss_core_pallas(blank_lp, label_lp, xlen, ylen):
+    """Per-sample negative log-likelihood (B,) — Pallas fused kernels."""
+    loss, _ = _pallas_fwd(blank_lp, label_lp, xlen, ylen)
+    return loss
+
+
+def _pallas_fwd(blank_lp, label_lp, xlen, ylen):
+    blank_m, label_full, labsh, xlen_p, ylen_p, dims = _prep(
+        blank_lp, label_lp, xlen, ylen)
+    alpha, logz = _run_alpha(blank_m, labsh, xlen_p, ylen_p, dims)
+    B = dims[0]
+    loss = -logz[:B, 0]
+    res = (blank_m, label_full, alpha, logz, xlen_p, ylen_p, dims,
+           label_lp.shape)
+    return loss, res
+
+
+def _pallas_bwd(res, g):
+    blank_m, label_full, alpha, logz, xlen_p, ylen_p, dims, lab_shape = res
+    B, T, U1, u1p, bp = dims
+    gb, gl = _run_beta_grad(blank_m, label_full, alpha, logz, xlen_p,
+                            ylen_p, dims)
+    gb = gb[:B, :, :U1]
+    gl = gl[:B, :, :lab_shape[2]]
+    scale = -g[:, None, None]
+    return gb * scale, gl * scale, None, None
+
+
+rnnt_loss_core_pallas.defvjp(_pallas_fwd, _pallas_bwd)
+
+
+def rnnt_loss_pallas(logits, labels, xlen, ylen, blank=0):
+    """Per-sample RNN-T loss from full-lattice logits via the Pallas core
+    (same contract as rnnt_loss.rnnt_loss)."""
+    from edgedict_tpu.ops.rnnt_loss import _gather_lp
+    log_probs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    blank_lp, label_lp = _gather_lp(log_probs, labels, blank)
+    return rnnt_loss_core_pallas(blank_lp, label_lp,
+                                 xlen.astype(jnp.int32),
+                                 ylen.astype(jnp.int32))
