@@ -125,6 +125,10 @@ def define_flags():
     d(flags.DEFINE_integer, 'label_bucket', 16,
       help='pad label U to a multiple of this (static-shape buckets)')
     d(flags.DEFINE_string, 'logdir_root', 'logs', help='run log root')
+    d(flags.DEFINE_integer, 'time_warp_w', 0,
+      help='SpecAugment time-warp W (legacy TimeWrap equivalent; 0 = off)')
+    d(flags.DEFINE_string, 'profile_dir', None,
+      help='write jax.profiler traces here during training')
 
 
 define_flags()

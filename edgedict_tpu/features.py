@@ -232,6 +232,39 @@ def spec_augment(key, feat, t_mask, t_num, f_mask, f_num):
     return jnp.where(keep, feat, 0.0)
 
 
+def time_warp(key, feat, warp_param=80):
+    """SpecAugment time warping on (B, T, F): a random anchor in
+    [W, T−W) is displaced by w ~ U[−W, W] and the time axis is piecewise-
+    linearly resampled (the reference's legacy sparse_image_warp pipeline,
+    augmentation.py:7-30 + sparse_img_wrap.py, reduced to the 1-D warp the
+    SpecAugment paper actually uses — jittable, no spline solve)."""
+    b, t, f = feat.shape
+    if t <= 2 * warp_param + 1:
+        return feat
+    k1, k2 = jax.random.split(key)
+    center = jax.random.randint(k1, (b,), warp_param, t - warp_param)
+    shift = jax.random.randint(k2, (b,), -warp_param, warp_param + 1)
+    src_center = (center + shift).astype(jnp.float32)
+    center = center.astype(jnp.float32)
+
+    pos = jnp.arange(t, dtype=jnp.float32)[None, :]       # output grid
+    # piecewise-linear source coordinates: [0, center]→[0, src_center],
+    # [center, T−1]→[src_center, T−1]
+    left = pos / jnp.maximum(center[:, None], 1.0) * src_center[:, None]
+    right = (src_center[:, None]
+             + (pos - center[:, None])
+             / jnp.maximum(t - 1 - center[:, None], 1.0)
+             * (t - 1 - src_center[:, None]))
+    src = jnp.where(pos <= center[:, None], left, right)
+    src = jnp.clip(src, 0.0, t - 1.0)
+
+    lo = jnp.floor(src).astype(jnp.int32)
+    hi = jnp.minimum(lo + 1, t - 1)
+    w = (src - lo.astype(jnp.float32))[..., None]
+    gather = lambda idx: jnp.take_along_axis(feat, idx[..., None], axis=1)
+    return gather(lo) * (1.0 - w) + gather(hi) * w
+
+
 def trim_audio(audio, lengths, sample_rate, max_seconds, truncate_end=True):
     """Host/device-side raw-audio trim (reference TrimAudio,
     rnnt/transforms.py:149-163)."""
@@ -267,6 +300,7 @@ class FeatureConfig:
     T_num_mask: int = 0
     F_mask: int = 0
     F_num_mask: int = 0
+    W_warp: int = 0                  # SpecAugment time-warp parameter
     mfcc_n_mels: int = 128           # torchaudio MFCC default
 
     @property
@@ -290,6 +324,7 @@ class FeatureConfig:
             pad_to_divisible=pad_to_divisible,
             T_mask=FLAGS.T_mask, T_num_mask=FLAGS.T_num_mask,
             F_mask=FLAGS.F_mask, F_num_mask=FLAGS.F_num_mask,
+            W_warp=getattr(FLAGS, 'time_warp_w', 0),
         )
 
 
@@ -375,7 +410,11 @@ class FeaturePipeline:
 
         feat, feat_len = downsample_stack(feat, feat_len, c.downsample,
                                           c.pad_to_divisible)
-        if train and (c.T_num_mask > 0 or c.F_num_mask > 0):
+        if train and (c.T_num_mask > 0 or c.F_num_mask > 0
+                      or c.W_warp > 0):
+            rng_warp, rng_spec = jax.random.split(rng_spec)
+            if c.W_warp > 0:
+                feat = time_warp(rng_warp, feat, c.W_warp)
             feat = spec_augment(rng_spec, feat, c.T_mask, c.T_num_mask,
                                 c.F_mask, c.F_num_mask)
         return feat, feat_len

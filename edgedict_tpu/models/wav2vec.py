@@ -216,6 +216,51 @@ def frontend_output_length(params_spec, n_samples):
 
 
 # ---------------------------------------------------------------------------
+# fairseq-style conv extractor (reference ConvFeatureExtractionModel,
+# rnnt/models.py:383-461 — defined in the reference but unused by its
+# trainers; provided here for the same surface)
+# ---------------------------------------------------------------------------
+
+def conv_feature_extractor_init(key, conv_layers, mode='default',
+                                bias=False):
+    """conv_layers: [(dim, kernel, stride), ...].  mode 'default' puts a
+    GroupNorm after the first conv; 'layer_norm' one LayerNorm per block."""
+    assert mode in ('default', 'layer_norm')
+    keys = jax.random.split(key, len(conv_layers) * 2)
+    layers = []
+    in_ch = 1
+    for i, (dim, k, _) in enumerate(conv_layers):
+        layer = {'w': _kaiming_conv(keys[2 * i], dim, in_ch, k)}
+        if bias:
+            bound = 1.0 / math.sqrt(in_ch * k)
+            layer['b'] = jax.random.uniform(
+                keys[2 * i + 1], (dim,), jnp.float32, -bound, bound)
+        if mode == 'default' and i == 0:
+            layer['gn'] = group_norm_init(dim)
+        elif mode == 'layer_norm':
+            layer['ln'] = layer_norm_init(dim)
+        layers.append(layer)
+        in_ch = dim
+    return {'layers': layers}
+
+
+def conv_feature_extractor_apply(params, conv_layers, xs, mode='default'):
+    """(B, L) waveform → (B, T, C): valid (un-padded) convolutions with
+    GELU, norm placement per mode (fp32 GroupNorm — the reference's
+    Fp32GroupNorm, modules/group_norm.py:5-17)."""
+    x = xs.astype(jnp.float32)[:, None, :]
+    for (dim, k, s), layer in zip(conv_layers, params['layers']):
+        x = _conv1d(x, layer['w'], layer.get('b'), s, pad=0)
+        if 'gn' in layer:
+            x = group_norm(layer['gn'], x, num_groups=dim)
+        if 'ln' in layer:
+            xt = jnp.swapaxes(x, 1, 2)
+            x = jnp.swapaxes(layer_norm(layer['ln'], xt), 1, 2)
+        x = jax.nn.gelu(x, approximate=False)
+    return jnp.swapaxes(x, 1, 2)
+
+
+# ---------------------------------------------------------------------------
 # vector quantizers
 # ---------------------------------------------------------------------------
 

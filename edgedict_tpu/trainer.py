@@ -171,10 +171,17 @@ class Trainer:
         total = total_steps or F.epochs * max(len(self.loader), 1)
         step = int(self.state.step)
         t0 = time.time()
+        profile_dir = getattr(F, 'profile_dir', None)
         while step < total:
             for batch in self.loader:
+                # jax.profiler trace of steps 10-13 (SURVEY §5 tracing)
+                if profile_dir and step == 10:
+                    jax.profiler.start_trace(profile_dir)
                 metrics = self.run_step(batch)
                 step = int(self.state.step)
+                if profile_dir and step == 13:
+                    jax.profiler.stop_trace()
+                    profile_dir = None
                 if step % F.loss_step == 0:
                     loss = float(metrics['loss'])
                     if self.writer:

@@ -169,3 +169,22 @@ def test_build_transform_reference_signature():
     ftr, _ = train_fn(audio, lens, jax.random.PRNGKey(0))
     fte, _ = test_fn(audio, lens)
     assert ftr.shape == fte.shape
+
+
+def test_time_warp():
+    key = jax.random.PRNGKey(0)
+    x = jnp.asarray(np.random.RandomState(5).randn(2, 60, 8), jnp.float32)
+    y = F.time_warp(key, x, warp_param=10)
+    assert y.shape == x.shape
+    assert np.isfinite(np.asarray(y)).all()
+    # endpoints are fixed points of the piecewise-linear warp
+    np.testing.assert_allclose(np.asarray(y[:, 0]), np.asarray(x[:, 0]),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(y[:, -1]), np.asarray(x[:, -1]),
+                               atol=1e-5)
+    # warp actually moves interior frames
+    assert float(jnp.abs(y[:, 1:-1] - x[:, 1:-1]).max()) > 0
+    # too-short inputs pass through untouched
+    short = x[:, :15]
+    np.testing.assert_allclose(np.asarray(F.time_warp(key, short, 10)),
+                               np.asarray(short))

@@ -139,3 +139,14 @@ def test_kmeans_vq():
     assert out['targets'].shape == (2, 6, 2)
     assert float(jnp.linalg.norm(grads['embedding'])) > 0  # latent loss
     assert float(jnp.linalg.norm(grads['proj'])) > 0       # STE + commit
+
+
+def test_conv_feature_extractor():
+    layers = [(8, 10, 5), (12, 4, 2), (16, 4, 2)]
+    for mode in ('default', 'layer_norm'):
+        params = W.conv_feature_extractor_init(
+            jax.random.PRNGKey(0), layers, mode=mode)
+        x = jax.random.normal(jax.random.PRNGKey(1), (2, 1000))
+        y = W.conv_feature_extractor_apply(params, layers, x, mode=mode)
+        assert y.shape[0] == 2 and y.shape[2] == 16
+        assert np.isfinite(np.asarray(y)).all()
