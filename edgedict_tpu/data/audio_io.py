@@ -52,14 +52,22 @@ def load_audio(path):
         try:
             return _read_wav(path)
         except wave.Error:
-            pass  # e.g. float32 WAV — fall through to soundfile
+            pass  # e.g. float32 WAV — fall through
+    if ext == '.flac':
+        try:
+            from edgedict_tpu.native import flac_available, read_flac
+            if flac_available():
+                return read_flac(path)
+        except ImportError:
+            pass
     if _sf is not None:
         x, sr = _sf.read(path, dtype='float32', always_2d=True)
         return x.mean(axis=1), sr
     if ext == '.wav':
         return _read_float_wav(path)
     raise RuntimeError(
-        f'cannot decode {path}: install soundfile or convert to PCM wav')
+        f'cannot decode {path}: build native/libflac_decoder.so, install '
+        f'soundfile, or convert to PCM wav')
 
 
 def _read_float_wav(path):

@@ -36,6 +36,7 @@ def _load(name):
 _rnnt = _load('librnnt_loss.so')
 _bpe = _load('libchar_bpe.so')
 _bucket = _load('libbucketing.so')
+_flac = _load('libflac_decoder.so')
 
 if _rnnt is not None:
     _rnnt.rnnt_loss_cpu.restype = ctypes.c_int
@@ -45,11 +46,48 @@ if _bpe is not None:
 if _bucket is not None:
     _bucket.batch_by_size.restype = ctypes.c_int
     _bucket.batch_fixed_shapes.restype = ctypes.c_int
+if _flac is not None:
+    _flac.flac_probe.restype = ctypes.c_int
+    _flac.flac_decode.restype = ctypes.c_int64
 
 
 def available():
     return {'rnnt_loss': _rnnt is not None, 'char_bpe': _bpe is not None,
-            'bucketing': _bucket is not None}
+            'bucketing': _bucket is not None, 'flac': _flac is not None}
+
+
+# ---------------------------------------------------------------------------
+# FLAC
+# ---------------------------------------------------------------------------
+
+def flac_available():
+    return _flac is not None
+
+
+def read_flac(path):
+    """Decode a FLAC file → (float32 mono samples in [-1, 1], sample_rate)
+    via native/flac_decoder.cpp."""
+    assert _flac is not None, 'build native/libflac_decoder.so first'
+    with open(path, 'rb') as f:
+        data = np.frombuffer(f.read(), np.uint8)
+    sr = ctypes.c_int32()
+    ch = ctypes.c_int32()
+    bps = ctypes.c_int32()
+    total = ctypes.c_int64()
+    ret = _flac.flac_probe(_ptr(data, ctypes.c_uint8), len(data),
+                           ctypes.byref(sr), ctypes.byref(ch),
+                           ctypes.byref(bps), ctypes.byref(total))
+    if ret != 0:
+        raise ValueError(f'not a FLAC stream: {path}')
+    n = int(total.value) or len(data) * 8 // max(bps.value, 1)
+    out = np.zeros((n * ch.value,), np.int32)
+    frames = _flac.flac_decode(_ptr(data, ctypes.c_uint8), len(data),
+                               _ptr(out, ctypes.c_int32), n)
+    if frames < 0:
+        raise ValueError(f'FLAC decode failed: {path}')
+    pcm = out[:frames * ch.value].reshape(-1, ch.value).astype(np.float32)
+    pcm = pcm.mean(axis=1) / float(1 << (bps.value - 1))
+    return pcm, int(sr.value)
 
 
 def _ptr(a, ty):

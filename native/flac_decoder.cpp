@@ -1,0 +1,302 @@
+// Minimal FLAC decoder — native audio ingestion for LibriSpeech-style
+// corpora (the reference leaned on torchaudio/soundfile C libraries for
+// .flac, rnnt/dataset.py:50,98; this repo's stdlib loader only reads WAV).
+//
+// Implements the FLAC subset used by speech corpora: STREAMINFO parsing,
+// frames with independent / left-side / right-side / mid-side channel
+// assignment, constant / verbatim / fixed(0-4) / LPC(1-32) subframes,
+// Rice-coded residual partitions (4- and 5-bit parameters, escape code),
+// wasted bits, UTF-8 frame numbers.  Written from the public format
+// specification (RFC 9639).
+//
+// C API: flac_probe / flac_decode (interleaved int32, sample_width bits).
+
+#include <cstdint>
+#include <algorithm>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+struct BitReader {
+  const uint8_t* data;
+  size_t len;
+  size_t pos = 0;    // byte position
+  int bit = 0;       // bit position within byte (0 = MSB)
+  bool error = false;
+
+  bool byte_aligned() const { return bit == 0; }
+
+  void align() {
+    if (bit) {
+      bit = 0;
+      ++pos;
+    }
+  }
+
+  uint64_t read_bits(int n) {
+    uint64_t v = 0;
+    for (int i = 0; i < n; ++i) {
+      if (pos >= len) {
+        error = true;
+        return 0;
+      }
+      v = (v << 1) | ((data[pos] >> (7 - bit)) & 1);
+      if (++bit == 8) {
+        bit = 0;
+        ++pos;
+      }
+    }
+    return v;
+  }
+
+  int64_t read_signed(int n) {
+    uint64_t v = read_bits(n);
+    if (n == 0) return 0;
+    if (v & (1ULL << (n - 1))) return static_cast<int64_t>(v) - (1LL << n);
+    return static_cast<int64_t>(v);
+  }
+
+  uint32_t read_unary() {
+    uint32_t q = 0;
+    while (!error && read_bits(1) == 0) ++q;
+    return q;
+  }
+};
+
+int64_t read_utf8(BitReader& br) {
+  uint64_t b0 = br.read_bits(8);
+  if (b0 < 0x80) return static_cast<int64_t>(b0);
+  int n = 0;
+  uint64_t mask = 0x40;
+  while (b0 & mask) {
+    ++n;
+    mask >>= 1;
+  }
+  uint64_t v = b0 & (mask - 1);
+  for (int i = 0; i < n; ++i) v = (v << 6) | (br.read_bits(8) & 0x3F);
+  return static_cast<int64_t>(v);
+}
+
+int64_t rice_read(BitReader& br, int param) {
+  uint32_t q = br.read_unary();
+  uint64_t r = br.read_bits(param);
+  uint64_t v = (static_cast<uint64_t>(q) << param) | r;
+  // zigzag decode
+  return (v >> 1) ^ -static_cast<int64_t>(v & 1);
+}
+
+bool read_residual(BitReader& br, int order, int block_size,
+                   std::vector<int64_t>& out) {
+  int method = static_cast<int>(br.read_bits(2));
+  if (method > 1) return false;
+  int plen = method == 0 ? 4 : 5;
+  int escape = method == 0 ? 15 : 31;
+  int part_order = static_cast<int>(br.read_bits(4));
+  int n_parts = 1 << part_order;
+  int samples_per_part = block_size >> part_order;
+  for (int p = 0; p < n_parts; ++p) {
+    int count = samples_per_part - (p == 0 ? order : 0);
+    if (count < 0) return false;
+    int param = static_cast<int>(br.read_bits(plen));
+    if (param == escape) {
+      int bits = static_cast<int>(br.read_bits(5));
+      for (int i = 0; i < count; ++i) out.push_back(br.read_signed(bits));
+    } else {
+      for (int i = 0; i < count; ++i) out.push_back(rice_read(br, param));
+    }
+    if (br.error) return false;
+  }
+  return true;
+}
+
+bool decode_subframe(BitReader& br, int block_size, int bps,
+                     std::vector<int64_t>& out) {
+  if (br.read_bits(1) != 0) return false;   // padding bit
+  int type = static_cast<int>(br.read_bits(6));
+  int wasted = 0;
+  if (br.read_bits(1)) wasted = 1 + static_cast<int>(br.read_unary());
+  bps -= wasted;
+  out.clear();
+  out.reserve(block_size);
+
+  if (type == 0) {                                   // constant
+    int64_t v = br.read_signed(bps);
+    out.assign(block_size, v);
+  } else if (type == 1) {                            // verbatim
+    for (int i = 0; i < block_size; ++i) out.push_back(br.read_signed(bps));
+  } else if (type >= 8 && type <= 12) {              // fixed, order 0-4
+    int order = type - 8;
+    for (int i = 0; i < order; ++i) out.push_back(br.read_signed(bps));
+    std::vector<int64_t> res;
+    if (!read_residual(br, order, block_size, res)) return false;
+    static const int coefs[5][4] = {
+        {}, {1}, {2, -1}, {3, -3, 1}, {4, -6, 4, -1}};
+    for (size_t i = 0; i < res.size(); ++i) {
+      int64_t pred = 0;
+      size_t n = out.size();
+      for (int j = 0; j < order; ++j) pred += coefs[order][j] * out[n - 1 - j];
+      out.push_back(pred + res[i]);
+    }
+  } else if (type >= 32) {                           // LPC, order 1-32
+    int order = (type & 31) + 1;
+    for (int i = 0; i < order; ++i) out.push_back(br.read_signed(bps));
+    int precision = static_cast<int>(br.read_bits(4)) + 1;
+    if (precision == 16) return false;               // invalid
+    int shift = static_cast<int>(br.read_signed(5));
+    if (shift < 0) return false;
+    std::vector<int64_t> coef(order);
+    for (int i = 0; i < order; ++i) coef[i] = br.read_signed(precision);
+    std::vector<int64_t> res;
+    if (!read_residual(br, order, block_size, res)) return false;
+    for (size_t i = 0; i < res.size(); ++i) {
+      int64_t pred = 0;
+      size_t n = out.size();
+      for (int j = 0; j < order; ++j) pred += coef[j] * out[n - 1 - j];
+      out.push_back((pred >> shift) + res[i]);
+    }
+  } else {
+    return false;
+  }
+  if (wasted) {
+    for (auto& v : out) v <<= wasted;
+  }
+  return !br.error && static_cast<int>(out.size()) == block_size;
+}
+
+struct StreamInfo {
+  uint32_t sample_rate = 0;
+  int channels = 0;
+  int bps = 0;
+  uint64_t total_samples = 0;
+  size_t audio_start = 0;
+};
+
+bool parse_header(const uint8_t* data, size_t len, StreamInfo* si) {
+  if (len < 8 || std::memcmp(data, "fLaC", 4) != 0) return false;
+  size_t pos = 4;
+  bool last = false;
+  while (!last) {
+    if (pos + 4 > len) return false;
+    last = data[pos] & 0x80;
+    int type = data[pos] & 0x7F;
+    uint32_t size = (data[pos + 1] << 16) | (data[pos + 2] << 8) |
+                    data[pos + 3];
+    pos += 4;
+    if (pos + size > len) return false;
+    if (type == 0 && size >= 34) {                   // STREAMINFO
+      const uint8_t* p = data + pos;
+      si->sample_rate = (p[10] << 12) | (p[11] << 4) | (p[12] >> 4);
+      si->channels = ((p[12] >> 1) & 0x7) + 1;
+      si->bps = (((p[12] & 1) << 4) | (p[13] >> 4)) + 1;
+      si->total_samples = (static_cast<uint64_t>(p[13] & 0x0F) << 32) |
+                          (static_cast<uint64_t>(p[14]) << 24) |
+                          (p[15] << 16) | (p[16] << 8) | p[17];
+    }
+    pos += size;
+  }
+  si->audio_start = pos;
+  return si->sample_rate != 0;
+}
+
+const int kBlockSizes[16] = {0,    192,  576,  1152, 2304, 4608, -1, -2,
+                             256,  512,  1024, 2048, 4096, 8192, 16384,
+                             32768};
+
+}  // namespace
+
+extern "C" {
+
+// Probe stream info.  Returns 0 on success.
+int flac_probe(const uint8_t* data, int64_t len, int32_t* sample_rate,
+               int32_t* channels, int32_t* bps, int64_t* total_samples) {
+  StreamInfo si;
+  if (!parse_header(data, static_cast<size_t>(len), &si)) return -1;
+  *sample_rate = static_cast<int32_t>(si.sample_rate);
+  *channels = si.channels;
+  *bps = si.bps;
+  *total_samples = static_cast<int64_t>(si.total_samples);
+  return 0;
+}
+
+// Decode whole stream to interleaved int32 (values in the stream's native
+// bit depth).  Returns frames (samples per channel) decoded, or -1.
+int64_t flac_decode(const uint8_t* data, int64_t len, int32_t* out,
+                    int64_t max_frames) {
+  StreamInfo si;
+  if (!parse_header(data, static_cast<size_t>(len), &si)) return -1;
+
+  BitReader br{data, static_cast<size_t>(len)};
+  br.pos = si.audio_start;
+  int64_t frames_done = 0;
+  std::vector<std::vector<int64_t>> ch(si.channels);
+
+  while (frames_done < max_frames && br.pos + 4 < br.len) {
+    // frame header: 14-bit sync
+    if (br.read_bits(14) != 0x3FFE) break;
+    br.read_bits(1);                                  // reserved
+    br.read_bits(1);                                  // blocking strategy
+    int bs_code = static_cast<int>(br.read_bits(4));
+    int sr_code = static_cast<int>(br.read_bits(4));
+    int ch_code = static_cast<int>(br.read_bits(4));
+    int bps_code = static_cast<int>(br.read_bits(3));
+    br.read_bits(1);                                  // reserved
+    read_utf8(br);                                    // frame/sample number
+    int block_size;
+    if (bs_code == 6) block_size = static_cast<int>(br.read_bits(8)) + 1;
+    else if (bs_code == 7) block_size = static_cast<int>(br.read_bits(16)) + 1;
+    else block_size = kBlockSizes[bs_code];
+    if (block_size <= 0) return -1;
+    if (sr_code == 12) br.read_bits(8);
+    else if (sr_code == 13 || sr_code == 14) br.read_bits(16);
+    int bps = si.bps;
+    static const int bps_table[8] = {0, 8, 12, 0, 16, 20, 24, 32};
+    if (bps_code != 0 && bps_table[bps_code]) bps = bps_table[bps_code];
+    br.read_bits(8);                                  // header CRC
+
+    int n_channels = si.channels;
+    int assignment = 0;                               // 0=independent
+    if (ch_code >= 8 && ch_code <= 10) {
+      n_channels = 2;
+      assignment = ch_code - 7;                       // 1=LS, 2=RS, 3=MS
+    } else {
+      n_channels = ch_code + 1;
+    }
+
+    for (int c = 0; c < n_channels; ++c) {
+      int sub_bps = bps;
+      // side channel carries one extra bit
+      if ((assignment == 1 && c == 1) || (assignment == 2 && c == 0) ||
+          (assignment == 3 && c == 1))
+        sub_bps += 1;
+      if (!decode_subframe(br, block_size, sub_bps, ch[c])) return -1;
+    }
+    br.align();
+    br.read_bits(16);                                 // frame CRC
+
+    // undo stereo decorrelation
+    if (assignment == 1) {                            // left/side
+      for (int i = 0; i < block_size; ++i) ch[1][i] = ch[0][i] - ch[1][i];
+    } else if (assignment == 2) {                     // right/side
+      for (int i = 0; i < block_size; ++i) ch[0][i] = ch[0][i] + ch[1][i];
+    } else if (assignment == 3) {                     // mid/side
+      for (int i = 0; i < block_size; ++i) {
+        int64_t side = ch[1][i];
+        int64_t mid = (ch[0][i] << 1) | (side & 1);
+        ch[0][i] = (mid + side) >> 1;
+        ch[1][i] = (mid - side) >> 1;
+      }
+    }
+
+    int64_t take = std::min<int64_t>(block_size, max_frames - frames_done);
+    for (int64_t i = 0; i < take; ++i)
+      for (int c = 0; c < si.channels; ++c)
+        out[(frames_done + i) * si.channels + c] =
+            static_cast<int32_t>(ch[c][i]);
+    frames_done += take;
+    if (br.error) return -1;
+  }
+  return frames_done;
+}
+
+}  // extern "C"

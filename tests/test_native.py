@@ -98,3 +98,27 @@ def test_batch_fixed_shapes_menu():
     for idxs, (bsz, max_len) in batches:
         assert len(idxs) <= bsz
         assert all(lengths[i] <= max_len for i in idxs)
+
+
+def test_flac_decoder_reference_utterance():
+    """Decode the reference repo's bundled LibriSpeech demo utterance
+    (3729-6852-0035.flac, the pinned asset of SURVEY §4d) with the native
+    decoder and check speech-signal invariants."""
+    import os
+    path = '/root/reference/3729-6852-0035.flac'
+    if not os.path.exists(path) or not native.available().get('flac'):
+        pytest.skip('reference flac or native lib unavailable')
+    audio, sr = native.read_flac(path)
+    assert sr == 16000
+    assert 20.0 < len(audio) / sr < 21.5          # known ~20.65 s clip
+    assert np.abs(audio).max() <= 1.0
+    rms = float(np.sqrt((audio ** 2).mean()))
+    assert 0.01 < rms < 0.3                        # speech-level energy
+    # LPC reconstruction sanity: strong sample-to-sample correlation
+    c = np.corrcoef(audio[:-1], audio[1:])[0, 1]
+    assert c > 0.8
+
+    # loads through the generic audio loader too
+    from edgedict_tpu.data import load_audio
+    a2, sr2 = load_audio(path)
+    np.testing.assert_allclose(a2, audio)
