@@ -47,11 +47,12 @@ def stream_chunk_geometry(win_length, hop_length, downsample, step_n_frame):
     return win_size, hop_size
 
 
-def make_stream_state(params, cfg: T.TransducerConfig):
+def make_stream_state(params, cfg: T.TransducerConfig, batch=1):
     """Zero encoder state; prediction net primed with BOS
-    (reference rnnt/stream.py:78-91)."""
-    enc_state = T.encoder_zero_state(cfg, 1)
-    empty = jnp.zeros((1, 0), jnp.int32)
+    (reference rnnt/stream.py:78-91).  batch > 1 = independent parallel
+    streams (server mode)."""
+    enc_state = T.encoder_zero_state(cfg, batch)
+    empty = jnp.zeros((batch, 0), jnp.int32)
     h_dec, dec_state = T.decoder_apply(params['decoder'], cfg, empty)
     return StreamState(enc_state=enc_state, dec_state=dec_state,
                        h_dec=h_dec[:, 0])
@@ -64,33 +65,38 @@ def _make_chunk_step_fn(params, cfg: T.TransducerConfig,
     variants)."""
 
     def chunk_step(params, state, audio):
-        xs, _ = pipeline(audio, jnp.asarray([audio.shape[1]]), train=False)
+        """audio (B, chunk) → (tokens (n_frames, B) int32, new_state).
+        Batched: B parallel independent streams per dispatch (B=1 is the
+        reference's single-stream decode; B>1 is server mode)."""
+        b = audio.shape[0]
+        lens = jnp.full((b,), audio.shape[1], jnp.int32)
+        xs, _ = pipeline(audio, lens, train=False)
         enc_xs, enc_state = T.encoder_apply(
             params['encoder'], cfg, xs, state.enc_state)
 
         def frame(carry, h_enc_t):
-            h_dec, dec_state = carry
-            logits = T.joint_apply(params['joint'], h_enc_t, h_dec)[0]
-            pred = jnp.argmax(logits)
+            h_dec, dec_state = carry             # (B, D), ((L,B,H),(L,B,H))
+            logits = T.joint_apply(params['joint'], h_enc_t, h_dec)
+            pred = jnp.argmax(logits, axis=-1)
             if unk_id is not None:
                 # <unk> suppression: re-argmax with <unk> disabled
                 # (reference rnnt/stream.py:106-108)
-                logits_no_unk = logits.at[unk_id].set(-jnp.inf)
+                no_unk = logits.at[:, unk_id].set(-jnp.inf)
                 pred = jnp.where(pred == unk_id,
-                                 jnp.argmax(logits_no_unk), pred)
+                                 jnp.argmax(no_unk, axis=-1), pred)
             pred = pred.astype(jnp.int32)
             h_dec_new, dec_state_new = T.decoder_apply(
-                params['decoder'], cfg, pred[None, None], dec_state)
-            adv = pred != cfg.blank
-            h_dec = jnp.where(adv, h_dec_new[:, 0], h_dec)
+                params['decoder'], cfg, pred[:, None], dec_state)
+            adv = pred != cfg.blank              # (B,)
+            h_dec = jnp.where(adv[:, None], h_dec_new[:, 0], h_dec)
             dec_state = jax.tree.map(
-                lambda new, old: jnp.where(adv, new, old),
+                lambda new, old: jnp.where(adv[None, :, None], new, old),
                 dec_state_new, dec_state)
             return (h_dec, dec_state), pred
 
         (h_dec, dec_state), tokens = jax.lax.scan(
             frame, (state.h_dec, state.dec_state),
-            jnp.swapaxes(enc_xs, 0, 1)[:, 0])
+            jnp.swapaxes(enc_xs, 0, 1))
         new_state = StreamState(enc_state=enc_state, dec_state=dec_state,
                                 h_dec=h_dec)
         return tokens, new_state
@@ -128,6 +134,69 @@ def make_chunk_group_step(params, cfg: T.TransducerConfig,
         return tokens, state
 
     return jax.jit(group_step)
+
+
+class MultiStreamDecoder:
+    """Server mode: N independent audio streams decoded in ONE dispatch per
+    chunk round — the batch dimension of the jitted chunk step carries the
+    streams, so serving throughput scales with batch instead of paying the
+    dispatch latency per stream.  (No reference equivalent: the reference
+    decoders are strictly single-stream.)"""
+
+    def __init__(self, params, cfg, feature_cfg: FeatureConfig, tokenizer,
+                 n_streams, step_n_frame=2):
+        assert not feature_cfg.pad_to_divisible
+        self.params = params
+        self.cfg = cfg
+        self.tokenizer = tokenizer
+        self.n = n_streams
+        self.pipeline = FeaturePipeline(feature_cfg)
+        self.win_size, self.hop_size = stream_chunk_geometry(
+            feature_cfg.win_length, feature_cfg.hop_length,
+            feature_cfg.downsample, step_n_frame)
+        self.chunk_step = make_chunk_step(
+            params, cfg, self.pipeline, self.win_size,
+            unk_id=getattr(tokenizer, 'unk_id', None))
+        self.elapsed = []
+        self.reset()
+
+    def reset(self):
+        self.state = make_stream_state(self.params, self.cfg, self.n)
+
+    def reset_stream(self, i):
+        """Reset one stream's state, leaving the others untouched."""
+        fresh = make_stream_state(self.params, self.cfg, self.n)
+
+        def blend(axis):
+            def f(new, old):
+                idx = jnp.arange(old.shape[axis])
+                shape = [1] * old.ndim
+                shape[axis] = -1
+                return jnp.where(idx.reshape(shape) == i, new, old)
+            return f
+        self.state = StreamState(
+            enc_state=jax.tree.map(blend(1), fresh.enc_state,
+                                   self.state.enc_state),
+            dec_state=jax.tree.map(blend(1), fresh.dec_state,
+                                   self.state.dec_state),
+            h_dec=blend(0)(fresh.h_dec, self.state.h_dec))
+
+    def decode(self, frames: np.ndarray):
+        """frames (n_streams, win_size) → list of newly decoded texts."""
+        start = time.time()
+        audio = jnp.asarray(frames, jnp.float32)
+        tokens, self.state = self.chunk_step(self.params, self.state, audio)
+        tokens = np.asarray(tokens)                 # (n_frames, N)
+        self.elapsed.append(time.time() - start)
+        out = []
+        for s in range(self.n):
+            pieces = []
+            for t in tokens[:, s]:
+                if t > UNK:
+                    pieces.append(self.tokenizer.id_to_token(int(t))
+                                  .replace('</w>', ' '))
+            out.append(''.join(pieces))
+        return out
 
 
 class StreamingDecoder:
@@ -173,7 +242,7 @@ class StreamingDecoder:
         start = time.time()
         audio = jnp.asarray(frame, jnp.float32)[None, :]
         tokens, self.state = self.chunk_step(self.params, self.state, audio)
-        tokens = np.asarray(tokens)
+        tokens = np.asarray(tokens)[:, 0]
         self.elapsed.append(time.time() - start)
         self._steps += 1
         if self.reset_step and self._steps >= self.reset_step:

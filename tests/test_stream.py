@@ -115,3 +115,37 @@ def test_streaming_reset_policy():
     np.testing.assert_allclose(
         np.asarray(dec.state.enc_state[0]),
         np.zeros_like(np.asarray(s1.enc_state[0])))
+
+
+def test_multistream_matches_single_streams():
+    """N-stream server decode == N independent single-stream decodes."""
+    from edgedict_tpu.stream import MultiStreamDecoder
+    feature_cfg = FeatureConfig(
+        feature_type='logfbank', feature_size=3, n_fft=64, win_length=40,
+        hop_length=20, downsample=3, pad_to_divisible=False)
+    params = T.transducer_init(jax.random.PRNGKey(7), CFG)
+    multi = MultiStreamDecoder(params, CFG, feature_cfg, _Tok(),
+                               n_streams=3, step_n_frame=2)
+    singles = [StreamingDecoder(params, CFG, feature_cfg, _Tok(),
+                                step_n_frame=2) for _ in range(3)]
+    rng = np.random.RandomState(0)
+    audios = rng.randn(3, multi.win_size * 3).astype(np.float32) * 0.5
+
+    multi_out = ['' for _ in range(3)]
+    single_out = ['' for _ in range(3)]
+    for c in range(3):
+        chunk = audios[:, c * multi.hop_size:
+                       c * multi.hop_size + multi.win_size]
+        outs = multi.decode(chunk)
+        for s in range(3):
+            multi_out[s] += outs[s]
+            single_out[s] += singles[s].decode(chunk[s])
+    assert multi_out == single_out
+
+    # per-stream reset leaves the other streams' state untouched
+    st_before = np.asarray(multi.state.enc_state[0][:, 1])
+    multi.reset_stream(0)
+    np.testing.assert_allclose(
+        np.asarray(multi.state.enc_state[0][:, 1]), st_before)
+    np.testing.assert_allclose(
+        np.asarray(multi.state.enc_state[0][:, 0]), 0.0)
