@@ -23,6 +23,8 @@ flags.DEFINE_integer('reset_after', 35,
 flags.DEFINE_string('model_name', None,
                     'checkpoint file name under logs/<name>/models '
                     '(default: latest)')
+flags.DEFINE_integer('beam_width', 1,
+                     '>1 switches to streaming beam search')
 
 
 def build_stream_decoder(FLAGS):
@@ -59,6 +61,11 @@ def build_stream_decoder(FLAGS):
         print(f'loaded {path}')
     else:
         print('WARNING: no checkpoint found — using random weights')
+    if getattr(FLAGS, 'beam_width', 1) > 1:
+        from edgedict_tpu.stream import StreamingBeamDecoder
+        return StreamingBeamDecoder(params, cfg, feature_cfg, tokenizer,
+                                    step_n_frame=FLAGS.step_n_frame,
+                                    beam_width=FLAGS.beam_width)
     return StreamingDecoder(params, cfg, feature_cfg, tokenizer,
                             step_n_frame=FLAGS.step_n_frame)
 

@@ -83,14 +83,12 @@ def _merge_top_w(a: BeamState, b: BeamState, w):
     return out._replace(logp=logp)
 
 
-def beam_search_from_encoder(params, cfg, h_enc, xlen=None, beam_width=8,
-                             max_sym_per_frame=3, max_tokens=200,
-                             lm=None):
-    """h_enc (B, T', E) → (tokens (B, U_cap), n_tok (B,), logp (B,)).
-
-    lm: optional (lm_params, LMConfig, weight) for shallow fusion.
-    """
-    B, Tn, _ = h_enc.shape
+def make_beam_machinery(params, cfg, batch, beam_width=8,
+                        max_sym_per_frame=3, max_tokens=200, lm=None):
+    """Build (init_beam_fn, frame_step) for a (batch, beam_width) search.
+    Shared by offline `beam_search_from_encoder` and the streaming beam
+    decoder (which carries the BeamState across chunks)."""
+    B = batch
     W = beam_width
     V = cfg.vocab_size
     blank = cfg.blank
@@ -215,17 +213,39 @@ def beam_search_from_encoder(params, cfg, h_enc, xlen=None, beam_width=8,
                      if stay.lm_next is not None else None))
         return new_beam, None
 
-    if xlen is None:
-        xlen = jnp.full((B,), Tn, jnp.int32)
-    valid = jnp.arange(Tn)[None, :] < xlen[:, None]   # (B, T')
-    final, _ = jax.lax.scan(
-        frame_step, init,
-        (jnp.swapaxes(h_enc, 0, 1), jnp.swapaxes(valid, 0, 1)))
+    def init_beam_fn():
+        return init
 
+    return init_beam_fn, frame_step
+
+
+def best_hypothesis(final: BeamState):
+    """(tokens (B, U_cap), n_tok (B,), logp (B,)) of the best beam entry."""
+    B = final.logp.shape[0]
     best = jnp.argmax(final.logp, axis=1)             # (B,)
     take = lambda x: jnp.take_along_axis(
         x, best.reshape((B,) + (1,) * (x.ndim - 1)), axis=1)[:, 0]
     return take(final.tokens), take(final.n_tok), take(final.logp)
+
+
+def beam_search_from_encoder(params, cfg, h_enc, xlen=None, beam_width=8,
+                             max_sym_per_frame=3, max_tokens=200,
+                             lm=None):
+    """h_enc (B, T', E) → (tokens (B, U_cap), n_tok (B,), logp (B,)).
+
+    lm: optional (lm_params, LMConfig, weight) for shallow fusion.
+    """
+    B, Tn, _ = h_enc.shape
+    init_fn, frame_step = make_beam_machinery(
+        params, cfg, B, beam_width=beam_width,
+        max_sym_per_frame=max_sym_per_frame, max_tokens=max_tokens, lm=lm)
+    if xlen is None:
+        xlen = jnp.full((B,), Tn, jnp.int32)
+    valid = jnp.arange(Tn)[None, :] < xlen[:, None]   # (B, T')
+    final, _ = jax.lax.scan(
+        frame_step, init_fn(),
+        (jnp.swapaxes(h_enc, 0, 1), jnp.swapaxes(valid, 0, 1)))
+    return best_hypothesis(final)
 
 
 def transducer_beam_search(params, cfg, xs, xlen, beam_width=8,

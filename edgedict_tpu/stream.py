@@ -136,6 +136,67 @@ def make_chunk_group_step(params, cfg: T.TransducerConfig,
     return jax.jit(group_step)
 
 
+class StreamingBeamDecoder:
+    """Online beam search: the fixed-shape beam (models/beam_search.py) is
+    carried across chunks alongside the encoder state — the streaming
+    counterpart of the reference's offline beam search (models.py:121-202),
+    made jit-able and chunk-incremental.  decode(chunk) returns the CURRENT
+    best hypothesis text (the caller re-renders it; beam search can revise
+    earlier output, unlike greedy)."""
+
+    def __init__(self, params, cfg, feature_cfg: FeatureConfig, tokenizer,
+                 step_n_frame=2, beam_width=4, max_sym_per_frame=2,
+                 max_tokens=200, lm=None):
+        assert not feature_cfg.pad_to_divisible
+        from edgedict_tpu.models.beam_search import (
+            best_hypothesis, make_beam_machinery)
+        self.params = params
+        self.cfg = cfg
+        self.tokenizer = tokenizer
+        self.pipeline = FeaturePipeline(feature_cfg)
+        self.win_size, self.hop_size = stream_chunk_geometry(
+            feature_cfg.win_length, feature_cfg.hop_length,
+            feature_cfg.downsample, step_n_frame)
+        self._init_beam, frame_step = make_beam_machinery(
+            params, cfg, batch=1, beam_width=beam_width,
+            max_sym_per_frame=max_sym_per_frame, max_tokens=max_tokens,
+            lm=lm)
+        pipeline = self.pipeline
+
+        def chunk_step(params, enc_state, beam, audio):
+            lens = jnp.full((1,), audio.shape[1], jnp.int32)
+            xs, _ = pipeline(audio, lens, train=False)
+            enc_xs, enc_state = T.encoder_apply(
+                params['encoder'], cfg, xs, enc_state)
+            valid = jnp.ones((enc_xs.shape[1], 1), bool)
+            beam, _ = jax.lax.scan(
+                frame_step, beam,
+                (jnp.swapaxes(enc_xs, 0, 1), valid))
+            toks, n_tok, logp = best_hypothesis(beam)
+            return enc_state, beam, toks[0], n_tok[0], logp[0]
+
+        self.chunk_step = jax.jit(chunk_step)
+        self.reset()
+
+    def reset(self):
+        self.enc_state = T.encoder_zero_state(self.cfg, 1)
+        self.beam = self._init_beam()
+
+    def decode(self, frame: np.ndarray) -> str:
+        """Returns the current best FULL hypothesis (may revise earlier
+        chunks' output)."""
+        audio = jnp.asarray(frame, jnp.float32)[None, :]
+        self.enc_state, self.beam, toks, n_tok, _ = self.chunk_step(
+            self.params, self.enc_state, self.beam, audio)
+        toks = np.asarray(toks)[:int(n_tok)]
+        out = []
+        for t in toks:
+            if t > UNK:
+                out.append(self.tokenizer.id_to_token(int(t))
+                           .replace('</w>', ' '))
+        return ''.join(out)
+
+
 class MultiStreamDecoder:
     """Server mode: N independent audio streams decoded in ONE dispatch per
     chunk round — the batch dimension of the jitted chunk step carries the

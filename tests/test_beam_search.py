@@ -126,3 +126,52 @@ def test_lm_loss_and_fusion():
         params, CFG, h_enc, beam_width=4, max_sym_per_frame=2,
         lm=(lm_params, lm_cfg, 0.3))
     assert np.isfinite(float(logp[0]))
+
+
+def test_streaming_beam_equals_offline_beam():
+    """Chunk-carried beam == offline beam on the same encoder outputs
+    (state-carry property extended from greedy to beam search)."""
+    from edgedict_tpu.features import FeatureConfig
+    from edgedict_tpu.stream import StreamingBeamDecoder
+
+    cfg = T.TransducerConfig(
+        vocab_size=16, vocab_embed_size=8, input_size=9,
+        enc_hidden_size=16, enc_layers=2, enc_proj_size=12,
+        dec_hidden_size=16, dec_layers=1, dec_proj_size=12,
+        joint_size=16, enc_time_reductions=())
+    feature_cfg = FeatureConfig(
+        feature_type='logfbank', feature_size=3, n_fft=64, win_length=40,
+        hop_length=20, downsample=3, pad_to_divisible=False)
+    params = T.transducer_init(jax.random.PRNGKey(9), cfg)
+
+    class _Tok:
+        unk_id = 3
+
+        def id_to_token(self, i):
+            return chr(ord('a') + int(i)) + '</w>'
+
+    dec = StreamingBeamDecoder(params, cfg, feature_cfg, _Tok(),
+                               step_n_frame=2, beam_width=4,
+                               max_sym_per_frame=2, max_tokens=32)
+    rng = np.random.RandomState(1)
+    audio = rng.randn(dec.win_size * 4).astype(np.float32) * 0.5
+    n = (len(audio) - dec.win_size) // dec.hop_size + 1
+    text = ''
+    all_feats = []
+    for i in range(n):
+        chunk = audio[i * dec.hop_size:i * dec.hop_size + dec.win_size]
+        text = dec.decode(chunk)
+        feats, _ = dec.pipeline(jnp.asarray(chunk, jnp.float32)[None],
+                                jnp.asarray([dec.win_size]))
+        all_feats.append(feats)
+
+    # offline: same per-chunk features concatenated, full-sequence beam
+    h_enc, _ = T.encoder_apply(params['encoder'], cfg,
+                               jnp.concatenate(all_feats, axis=1))
+    toks, n_tok, _ = beam_search_from_encoder(
+        params, cfg, h_enc, beam_width=4, max_sym_per_frame=2,
+        max_tokens=32)
+    offline = ''.join(chr(ord('a') + int(t)) + ' '
+                      for t in np.asarray(toks[0][:int(n_tok[0])])
+                      if t > 3)
+    assert text == offline, (text, offline)
