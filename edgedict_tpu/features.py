@@ -28,7 +28,6 @@ consumed at rnnt/features.py:80-84 / transforms.py:179-183).
 
 import dataclasses
 import math
-from typing import Optional, Tuple
 
 import numpy as np
 import jax

@@ -11,7 +11,7 @@ Emitted sequences keep blanks in place (one slot per frame), exactly like the
 reference; `truncate_and_strip` post-processes on the host.
 """
 
-from typing import Tuple
+
 
 import jax
 import jax.numpy as jnp

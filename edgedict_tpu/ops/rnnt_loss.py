@@ -25,7 +25,6 @@ log P(labels[u] | t, u) (valid t < xlen, u < ylen).  The path ends at
 (xlen, ylen); loss = −logZ.
 """
 
-import functools
 
 import jax
 import jax.numpy as jnp

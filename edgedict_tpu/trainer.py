@@ -24,7 +24,7 @@ from edgedict_tpu.checkpoint import (
     snapshot_flags)
 from edgedict_tpu.data import (
     BucketSpec, CommonVoice, DataLoader, Librispeech, MergedDataset,
-    TEDLIUM, YoutubeCaption, seq_collate)
+    TEDLIUM, YoutubeCaption)
 from edgedict_tpu.features import FeatureConfig, FeaturePipeline
 from edgedict_tpu.metrics import wer as wer_fn
 from edgedict_tpu.models import transducer as T
