@@ -83,8 +83,38 @@ def _merge_top_w(a: BeamState, b: BeamState, w):
     return out._replace(logp=logp)
 
 
+def merge_duplicate_prefixes(beam: BeamState):
+    """Graves prefix-probability merging: hypotheses with IDENTICAL label
+    prefixes (reached via different alignments) are merged by summing their
+    probabilities into the lowest-index copy; the duplicates drop to −inf
+    (the reference's log_aplusb path, models.py:121-222, as fixed-shape
+    tensor algebra)."""
+    tokens, n_tok, logp = beam.tokens, beam.n_tok, beam.logp
+    B, W, U = tokens.shape
+    # only compare the valid prefix region
+    pos = jnp.arange(U)[None, None, :]
+    valid = pos < n_tok[..., None]
+    tok_masked = jnp.where(valid, tokens, -1)
+    same_len = n_tok[:, :, None] == n_tok[:, None, :]            # (B,W,W)
+    same_tok = jnp.all(tok_masked[:, :, None, :]
+                       == tok_masked[:, None, :, :], axis=-1)
+    eq = same_len & same_tok
+    live = logp > NEG / 2
+    eq = eq & live[:, :, None] & live[:, None, :]
+    # canonical representative = lowest index in each equivalence class
+    i_ids = jnp.arange(W)[None, :, None]
+    canon = jnp.min(jnp.where(eq, i_ids, W), axis=1)             # (B, W)
+    contrib = canon[:, None, :] == jnp.arange(W)[None, :, None]  # (B,W,W)
+    merged = jax.scipy.special.logsumexp(
+        jnp.where(contrib, logp[:, None, :], NEG), axis=2)
+    is_canon = canon == jnp.arange(W)[None, :]
+    new_logp = jnp.where(is_canon & live, merged, NEG)
+    return beam._replace(logp=new_logp)
+
+
 def make_beam_machinery(params, cfg, batch, beam_width=8,
-                        max_sym_per_frame=3, max_tokens=200, lm=None):
+                        max_sym_per_frame=3, max_tokens=200, lm=None,
+                        merge_prefixes=False):
     """Build (init_beam_fn, frame_step) for a (batch, beam_width) search.
     Shared by offline `beam_search_from_encoder` and the streaming beam
     decoder (which carries the BeamState across chunks)."""
@@ -195,6 +225,8 @@ def make_beam_machinery(params, cfg, batch, beam_width=8,
         lp = beam_joint_logp(h_enc_t, active.dec_out)
         stay = _merge_top_w(
             stay, active._replace(logp=active.logp + lp[..., blank]), W)
+        if merge_prefixes:
+            stay = merge_duplicate_prefixes(stay)
 
         # frames beyond xlen leave the beam untouched
         g1 = lambda new, old: jnp.where(
@@ -230,15 +262,18 @@ def best_hypothesis(final: BeamState):
 
 def beam_search_from_encoder(params, cfg, h_enc, xlen=None, beam_width=8,
                              max_sym_per_frame=3, max_tokens=200,
-                             lm=None):
+                             lm=None, merge_prefixes=False):
     """h_enc (B, T', E) → (tokens (B, U_cap), n_tok (B,), logp (B,)).
 
     lm: optional (lm_params, LMConfig, weight) for shallow fusion.
+    merge_prefixes: Graves prefix-probability summation (exact hypothesis
+    scores at extra O(W²·U) compare cost per frame).
     """
     B, Tn, _ = h_enc.shape
     init_fn, frame_step = make_beam_machinery(
         params, cfg, B, beam_width=beam_width,
-        max_sym_per_frame=max_sym_per_frame, max_tokens=max_tokens, lm=lm)
+        max_sym_per_frame=max_sym_per_frame, max_tokens=max_tokens, lm=lm,
+        merge_prefixes=merge_prefixes)
     if xlen is None:
         xlen = jnp.full((B,), Tn, jnp.int32)
     valid = jnp.arange(Tn)[None, :] < xlen[:, None]   # (B, T')

@@ -175,3 +175,41 @@ def test_streaming_beam_equals_offline_beam():
                       for t in np.asarray(toks[0][:int(n_tok[0])])
                       if t > 3)
     assert text == offline, (text, offline)
+
+
+def test_prefix_merging_matches_lattice_posterior():
+    """With prefix merging, an exhaustive beam's best score equals the true
+    sequence posterior max_y log P(y|x) computed by the lattice DP — the
+    exact Graves objective (prefix-probability summation)."""
+    import itertools
+    from edgedict_tpu.ops.rnnt_loss import rnnt_loss
+
+    cfg = T.TransducerConfig(
+        vocab_size=4, vocab_embed_size=4, input_size=6,
+        enc_hidden_size=8, enc_layers=1, enc_proj_size=6,
+        dec_hidden_size=8, dec_layers=1, dec_proj_size=6,
+        joint_size=8, enc_time_reductions=())
+    params = T.transducer_init(jax.random.PRNGKey(3), cfg)
+    h_enc = jax.random.normal(jax.random.PRNGKey(4), (1, 3, 6))
+
+    # enumerate every label sequence with |y| <= 3; score with the lattice
+    best_y, best_lp = None, -np.inf
+    for n in range(0, 4):
+        for y in itertools.product([1, 2, 3], repeat=n):
+            ys = jnp.asarray([list(y) + [0] * (3 - n)], jnp.int32)
+            h_dec, _ = T.decoder_apply(params['decoder'], cfg,
+                                       ys[:, :max(n, 1)] if n else
+                                       jnp.zeros((1, 0), jnp.int32))
+            # full-lattice logits for this y
+            h_dec_full, _ = T.decoder_apply(params['decoder'], cfg, ys)
+            logits = T.joint_apply(params['joint'], h_enc, h_dec_full)
+            lp = -float(rnnt_loss(logits, ys, jnp.asarray([3]),
+                                  jnp.asarray([n]))[0])
+            if lp > best_lp:
+                best_y, best_lp = list(y), lp
+
+    toks, n_tok, logp = beam_search_from_encoder(
+        params, cfg, h_enc, beam_width=64, max_sym_per_frame=3,
+        max_tokens=4, merge_prefixes=True)
+    assert abs(float(logp[0]) - best_lp) < 1e-3, (float(logp[0]), best_lp)
+    assert list(np.asarray(toks[0][:int(n_tok[0])])) == best_y
