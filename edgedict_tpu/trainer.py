@@ -125,6 +125,7 @@ class Trainer:
             self.writer = None
         snapshot_flags(FLAGS, self.logdir)
         self._rng = jax.random.PRNGKey(1234)
+        self._best_wer = float('inf')
 
     # ------------------------------------------------------------------
     def _build_model_and_steps(self):
@@ -201,6 +202,13 @@ class Trainer:
                         self.writer.add_scalar('WER', val_wer, step)
                     log_fn(f'eval @ {step}: loss {val_loss:.4f} '
                            f'WER {val_wer:.4f}')
+                    if val_wer < self._best_wer:
+                        # best-WER checkpoint (the lightning policy,
+                        # cli/lightning.py:147-159)
+                        self._best_wer = val_wer
+                        import shutil
+                        shutil.copy(self.save(),
+                                    os.path.join(self.logdir, 'best.ckpt'))
                 if step >= total:
                     break
         self.save()
