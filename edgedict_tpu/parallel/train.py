@@ -159,12 +159,25 @@ def make_train_step(cfg, optimizer, mesh=None, bf16=True,
         grads = jax.tree.map(lambda g: g / accum, grad_sum)
 
         opt_state = _set_lr(state.opt_state, lr)
-        updates, opt_state = optimizer.update(grads, opt_state, state.params)
+        updates, new_opt_state = optimizer.update(grads, opt_state,
+                                                  state.params)
         params = optax_apply_updates(state.params, updates)
-        new_state = TrainState(step=state.step + 1, params=params,
-                               opt_state=opt_state)
         gnorm = optax_global_norm(grads)
-        metrics = {'loss': loss, 'grad_norm': gnorm}
+        # failure detection: a non-finite loss/grad (bf16 overflow, corrupt
+        # batch) skips the update instead of poisoning the params — the
+        # production counterpart of apex's loss-scaler skip (the reference
+        # only NaN-guarded live audio input, youtube_live.py:111-121)
+        ok = jnp.isfinite(loss) & jnp.isfinite(gnorm)
+        params = jax.tree.map(
+            lambda new, old: jnp.where(ok, new, old), params, state.params)
+        new_opt_state = jax.tree.map(
+            lambda new, old: jnp.where(ok, new, old)
+            if getattr(new, 'ndim', None) is not None else new,
+            new_opt_state, opt_state)
+        new_state = TrainState(step=state.step + 1, params=params,
+                               opt_state=new_opt_state)
+        metrics = {'loss': loss, 'grad_norm': gnorm,
+                   'skipped': (~ok).astype(jnp.float32)}
         if loss_has_aux:
             metrics.update({k: jnp.mean(v) for k, v in extras.items()})
         return new_state, metrics

@@ -109,3 +109,28 @@ def test_plateau_scheduler():
     sched2 = optim.ReduceLROnPlateau(1e-3)
     sched2.load_state_dict(d)
     assert sched2.state == sched.state
+
+
+def test_nonfinite_grad_skips_update():
+    """A batch that produces NaN loss must leave params untouched."""
+    mesh = make_mesh(dp=2, tp=1)
+    opt = optim.build_optimizer('adam', lr=1e-3)
+    state = make_train_state(jax.random.PRNGKey(0), CFG, opt, mesh)
+    step_fn = make_train_step(CFG, opt, mesh, bf16=False)
+    rng = np.random.RandomState(3)
+    bad = _batch(rng, 4)
+    bad['xs'][0, 0, 0] = np.nan
+    before = np.asarray(state.params['joint']['out']['b'])
+    state, metrics = step_fn(state, shard_batch(mesh, bad),
+                             jax.random.PRNGKey(0), jnp.asarray(1e-3))
+    assert float(metrics['skipped']) == 1.0
+    np.testing.assert_allclose(
+        np.asarray(state.params['joint']['out']['b']), before)
+    assert int(state.step) == 1    # step counter still advances
+
+    good = _batch(rng, 4)
+    state, metrics = step_fn(state, shard_batch(mesh, good),
+                             jax.random.PRNGKey(1), jnp.asarray(1e-3))
+    assert float(metrics['skipped']) == 0.0
+    assert not np.allclose(
+        np.asarray(state.params['joint']['out']['b']), before)
