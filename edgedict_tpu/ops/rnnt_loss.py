@@ -238,8 +238,16 @@ def rnnt_loss_from_joint(joint_params, h_enc, h_dec, labels, xlen, ylen,
     def chunk_lp(f_c, g_full):
         h = jnp.tanh(f_c[:, :, None, :] + g_full[:, None, :, :])
         logits = linear(joint_params['out'], h)
-        lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-        return _gather_lp(lp, labels_i, blank)
+        # normalize only the two gathered entries: one logsumexp reduction
+        # instead of materializing the full normalized (B, chunk, U1, V)
+        lse = jax.scipy.special.logsumexp(
+            logits.astype(jnp.float32), axis=-1)          # (B, c, U1)
+        blank_lp = logits[..., blank].astype(jnp.float32) - lse
+        u = labels_i.shape[1]
+        label_lp = jnp.take_along_axis(
+            logits[:, :, :u, :], labels_i[:, None, :, None],
+            axis=-1)[..., 0].astype(jnp.float32) - lse[:, :, :u]
+        return blank_lp, label_lp
 
     def scan_body(_, f_c):
         return None, chunk_lp(f_c, g)
