@@ -107,3 +107,17 @@ def test_wer_metric():
     assert wer(['a b', 'c d'], ['a b', 'c x']) == pytest.approx(1 / 4)
     assert cer('abc', 'abc') == 0.0
     assert cer('abc', 'axc') == pytest.approx(1 / 3)
+
+
+def test_compute_measures():
+    from edgedict_tpu.metrics import compute_measures, wer
+    m = compute_measures(['the cat sat on the mat'],
+                         ['the cat sit on mat here'])
+    # sat->sit (sub), 'the' deleted, 'here' inserted
+    assert m['substitutions'] >= 1
+    assert m['deletions'] >= 1
+    assert m['insertions'] >= 1
+    assert abs(m['wer'] - wer(['the cat sat on the mat'],
+                              ['the cat sit on mat here'])) < 1e-9
+    perfect = compute_measures(['a b c'], ['a b c'])
+    assert perfect['wer'] == 0 and perfect['hits'] == 3
