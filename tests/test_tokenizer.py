@@ -113,11 +113,11 @@ def test_compute_measures():
     from edgedict_tpu.metrics import compute_measures, wer
     m = compute_measures(['the cat sat on the mat'],
                          ['the cat sit on mat here'])
-    # sat->sit (sub), 'the' deleted, 'here' inserted
-    assert m['substitutions'] >= 1
-    assert m['deletions'] >= 1
-    assert m['insertions'] >= 1
+    assert m['substitutions'] + m['deletions'] + m['insertions'] == 3
     assert abs(m['wer'] - wer(['the cat sat on the mat'],
                               ['the cat sit on mat here'])) < 1e-9
+    assert compute_measures(['a b c d'], ['a c'])['deletions'] == 2
+    assert compute_measures(['a'], ['a b'])['insertions'] == 1
+    assert compute_measures(['a b'], ['a c'])['substitutions'] == 1
     perfect = compute_measures(['a b c'], ['a b c'])
     assert perfect['wer'] == 0 and perfect['hits'] == 3
