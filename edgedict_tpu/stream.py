@@ -331,6 +331,30 @@ class StreamingDecoder:
         self._steps += len(chunks)
         return self._detok(tokens)
 
+    def decode_wav_pipelined(self, audio: np.ndarray) -> str:
+        """Like decode_wav but with lag-1 token fetch: round i's tokens are
+        materialized while round i+1's dispatch is in flight, hiding one
+        host↔device round trip per block (text emission lags one block)."""
+        assert self.group_step is not None
+        self.reset()
+        n = max((len(audio) - self.win_size) // self.hop_size + 1, 0)
+        n -= n % self.block_chunks
+        pending = []
+        start = time.time()
+        for i in range(0, n, self.block_chunks):
+            chunks = np.stack([
+                audio[j * self.hop_size:j * self.hop_size + self.win_size]
+                for j in range(i, i + self.block_chunks)])
+            tokens, self.state = self.group_step(
+                self.params, self.state,
+                jnp.asarray(chunks, jnp.float32))
+            pending.append(tokens)
+            if len(pending) > 1:
+                pending[-2] = np.asarray(pending[-2])
+        pending = [np.asarray(t) for t in pending]
+        self.elapsed.append(time.time() - start)
+        return ''.join(self._detok(t.reshape(-1)) for t in pending)
+
     def decode_wav(self, audio: np.ndarray) -> str:
         """Offline chunked decode of a full waveform (the stream.py --path
         one-shot mode, reference stream.py:106-117)."""
