@@ -14,6 +14,8 @@ from edgedict_tpu.config import FLAGS  # registers the shared flag surface
 
 def main(argv):
     del argv
+    from edgedict_tpu.config import enable_compilation_cache
+    enable_compilation_cache()
     import jax
     print(f'devices: {jax.devices()}')
     from edgedict_tpu.trainer import Trainer

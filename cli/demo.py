@@ -21,6 +21,8 @@ flags.DEFINE_integer('demo_reset_step', 200, 'periodic state reset chunks')
 
 def main(argv):
     del argv
+    from edgedict_tpu.config import enable_compilation_cache
+    enable_compilation_cache()
     from edgedict_tpu.export import ExportedStreamDecoder
     from edgedict_tpu.features import FeatureConfig, FeaturePipeline
     from edgedict_tpu.stream import stream_chunk_geometry

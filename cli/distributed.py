@@ -51,6 +51,8 @@ class _ShardedDataset:
 
 def main(argv):
     del argv
+    from edgedict_tpu.config import enable_compilation_cache
+    enable_compilation_cache()
     import jax
     kwargs = {}
     if FLAGS.coordinator_address:

@@ -24,6 +24,8 @@ flags.DEFINE_integer('export_step_n_frame', 2,
 
 def main(argv):
     del argv
+    from edgedict_tpu.config import enable_compilation_cache
+    enable_compilation_cache()
     import jax
     from edgedict_tpu.checkpoint import (
         checkpoint_path, latest_step, load_checkpoint)

@@ -24,6 +24,8 @@ flags.mark_flag_as_required('pt_path')
 
 def main(argv):
     del argv
+    from edgedict_tpu.config import enable_compilation_cache
+    enable_compilation_cache()
     from edgedict_tpu.checkpoint import save_checkpoint
     from edgedict_tpu.compat import load_reference_checkpoint
     from edgedict_tpu.features import FeatureConfig

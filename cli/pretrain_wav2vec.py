@@ -15,6 +15,8 @@ from edgedict_tpu.pretrain_config import FLAGS
 
 def main(argv):
     del argv
+    from edgedict_tpu.config import enable_compilation_cache
+    enable_compilation_cache()
     import jax
     from edgedict_tpu.data import DataLoader
     from edgedict_tpu.pretrainer import Wav2VecPretrainer

@@ -72,6 +72,8 @@ def build_stream_decoder(FLAGS):
 
 def main(argv):
     del argv
+    from edgedict_tpu.config import enable_compilation_cache
+    enable_compilation_cache()
     decoder = build_stream_decoder(FLAGS)
 
     if FLAGS.path:

@@ -14,6 +14,8 @@ from edgedict_tpu.pretrain_config import FLAGS  # full flag surface
 
 def main(argv):
     del argv
+    from edgedict_tpu.config import enable_compilation_cache
+    enable_compilation_cache()
     from edgedict_tpu.raw_trainer import RawTrainer
 
     trainer = RawTrainer(FLAGS)

@@ -33,6 +33,8 @@ def batch_texts(texts, tokenizer, seq_len, batch_size, rng):
 
 def main(argv):
     del argv
+    from edgedict_tpu.config import enable_compilation_cache
+    enable_compilation_cache()
     import jax
     import jax.numpy as jnp
     import optax

@@ -55,6 +55,8 @@ def run_backend(name, decoder, utts, tokenizer):
 
 def main(argv):
     del argv
+    from edgedict_tpu.config import enable_compilation_cache
+    enable_compilation_cache()
     from cli.stream import build_stream_decoder
     from edgedict_tpu.data import Librispeech, load_audio
     from edgedict_tpu.trainer import build_tokenizer

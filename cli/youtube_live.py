@@ -38,6 +38,8 @@ def resolve_stream_url(url):
 
 def main(argv):
     del argv
+    from edgedict_tpu.config import enable_compilation_cache
+    enable_compilation_cache()
     from cli.stream import build_stream_decoder
     decoder = build_stream_decoder(FLAGS)
 

@@ -11,6 +11,8 @@ TPU additions are registered under their own section at the bottom and are all
 optional, so reference flagfiles remain valid inputs.
 """
 
+import os
+
 from absl import flags
 
 FLAGS = flags.FLAGS
@@ -129,6 +131,10 @@ def define_flags():
       help='SpecAugment time-warp W (legacy TimeWrap equivalent; 0 = off)')
     d(flags.DEFINE_string, 'profile_dir', None,
       help='write jax.profiler traces here during training')
+    d(flags.DEFINE_string, 'compilation_cache_dir',
+      os.path.expanduser('~/.cache/edgedict_tpu_xla'),
+      help='persistent XLA compilation cache (empty string disables); '
+           'makes the big train-step compile a one-time cost across runs')
 
 
 define_flags()
@@ -139,3 +145,19 @@ def ensure_parsed(argv=None):
     if not FLAGS.is_parsed():
         FLAGS(argv or ['edgedict_tpu'])
     return FLAGS
+
+
+def enable_compilation_cache():
+    """Point jax at the persistent XLA compilation cache (called by the
+    CLIs after flag parsing); big-model train steps then compile once per
+    machine instead of once per process."""
+    import jax
+    cache_dir = FLAGS.compilation_cache_dir
+    if not cache_dir:
+        return
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update('jax_compilation_cache_dir', cache_dir)
+        jax.config.update('jax_persistent_cache_min_compile_time_secs', 5.0)
+    except Exception as e:           # cache is best-effort
+        print(f'compilation cache disabled: {e}')
