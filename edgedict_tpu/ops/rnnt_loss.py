@@ -199,12 +199,24 @@ def _gather_lp(log_probs, labels, blank):
     return blank_lp, label_lp
 
 
+def gather_normalized_lp(logits, labels, blank):
+    """blank/label log-probs straight from raw logits: ONE logsumexp
+    reduction, only the two gathered entries normalized — the full
+    normalized (B, T, U+1, V) tensor is never written to HBM."""
+    u = labels.shape[1]
+    lse = jax.scipy.special.logsumexp(logits.astype(jnp.float32), axis=-1)
+    blank_lp = logits[..., blank].astype(jnp.float32) - lse
+    label_lp = jnp.take_along_axis(
+        logits[:, :, :u, :], labels[:, None, :, None].astype(jnp.int32),
+        axis=-1)[..., 0].astype(jnp.float32) - lse[:, :, :u]
+    return blank_lp, label_lp
+
+
 def rnnt_loss(logits, labels, xlen, ylen, blank=0):
     """Per-sample RNN-T loss (B,) from full-lattice logits (B, T, U+1, V).
 
     Same contract as warprnnt_pytorch.RNNTLoss with reduction='none'."""
-    log_probs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-    blank_lp, label_lp = _gather_lp(log_probs, labels, blank)
+    blank_lp, label_lp = gather_normalized_lp(logits, labels, blank)
     return rnnt_loss_core(blank_lp, label_lp,
                           xlen.astype(jnp.int32), ylen.astype(jnp.int32))
 

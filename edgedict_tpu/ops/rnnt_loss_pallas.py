@@ -290,9 +290,8 @@ rnnt_loss_core_pallas.defvjp(_pallas_fwd, _pallas_bwd)
 def rnnt_loss_pallas(logits, labels, xlen, ylen, blank=0):
     """Per-sample RNN-T loss from full-lattice logits via the Pallas core
     (same contract as rnnt_loss.rnnt_loss)."""
-    from edgedict_tpu.ops.rnnt_loss import _gather_lp
-    log_probs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-    blank_lp, label_lp = _gather_lp(log_probs, labels, blank)
+    from edgedict_tpu.ops.rnnt_loss import gather_normalized_lp
+    blank_lp, label_lp = gather_normalized_lp(logits, labels, blank)
     return rnnt_loss_core_pallas(blank_lp, label_lp,
                                  xlen.astype(jnp.int32),
                                  ylen.astype(jnp.int32))
