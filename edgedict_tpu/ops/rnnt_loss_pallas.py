@@ -20,6 +20,11 @@ ladder: pure-lax oracle ↔ C++ CPU ↔ associative-scan ↔ THIS).
 
 On non-TPU backends the kernels run in Pallas interpret mode (slow but
 correct), keeping the test suite hermetic on CPU.
+
+Measured on one chip at E6D2 scale (B=8, T=192, U=60, V=2048, with the
+lse-gather front): forward 9.7 ms (associative-scan path: 10.1), backward
+30.7 ms (scan: 20.6) — the scan path stays the default for training; the
+remaining gap is the backward kernel's alpha re-reads + dual grad writes.
 """
 
 import functools
