@@ -29,12 +29,14 @@ def save_checkpoint(logdir, step, params, opt_state=None, sched_state=None,
     """Write logs/<name>/models/<step>.ckpt.  Returns the path."""
     models_dir = os.path.join(logdir, 'models')
     os.makedirs(models_dir, exist_ok=True)
+    import json as _json
     payload = {
         'step': int(step),
         'model': _to_host(params),
         'optim': _to_host(opt_state) if opt_state is not None else None,
         'sched': sched_state,
-        'extra': extra,
+        # JSON-encoded so the serialized tree structure is shape-stable
+        'extra': _json.dumps(extra) if extra is not None else '',
     }
     path = os.path.join(models_dir, f'{int(step)}.ckpt')
     tmp = path + '.tmp'
@@ -55,9 +57,12 @@ def load_checkpoint(path, params_template, opt_state_template=None):
         'optim': (_to_host(opt_state_template)
                   if opt_state_template is not None else None),
         'sched': None,
-        'extra': None,
+        'extra': '',
     }
     payload = serialization.from_bytes(target, data)
+    import json as _json
+    payload['extra'] = (_json.loads(payload['extra'])
+                        if payload.get('extra') else None)
     return payload
 
 

@@ -250,7 +250,9 @@ class Trainer:
         step = int(self.state.step)
         return save_checkpoint(
             self.logdir, step, self.state.params, self.state.opt_state,
-            self.sched.state_dict() if self.sched else None)
+            self.sched.state_dict() if self.sched else None,
+            extra={'rng': np.asarray(self._rng).tolist(),
+                   'best_wer': self._best_wer})
 
     def load(self, step=None):
         step = step if step is not None else latest_step(self.logdir)
@@ -267,4 +269,9 @@ class Trainer:
             opt_state=jax.tree.map(jnp.asarray, payload['optim']))
         if self.sched is not None and payload['sched'] is not None:
             self.sched.load_state_dict(payload['sched'])
+        extra = payload.get('extra') or {}
+        if 'rng' in extra:
+            self._rng = jnp.asarray(extra['rng'], jnp.uint32)
+        if 'best_wer' in extra and extra['best_wer'] is not None:
+            self._best_wer = float(extra['best_wer'])
         return step
