@@ -95,6 +95,13 @@ class Trainer:
         self.mesh = mesh if mesh is not None else make_mesh(
             dp=FLAGS.dp_size, tp=FLAGS.tp_size)
         self.accum_steps = max(1, FLAGS.batch_size // FLAGS.sub_batch_size)
+        dp = self.mesh.shape['dp']
+        assert FLAGS.sub_batch_size % dp == 0, (
+            f'sub_batch_size ({FLAGS.sub_batch_size}) must be divisible by '
+            f'the data-parallel mesh size ({dp})')
+        assert FLAGS.eval_batch_size % dp == 0, (
+            f'eval_batch_size ({FLAGS.eval_batch_size}) must be divisible '
+            f'by the data-parallel mesh size ({dp})')
         self.optimizer = optim.build_optimizer(
             FLAGS.optim, lr=FLAGS.lr, gradclip=FLAGS.gradclip)
         self._build_model_and_steps()
