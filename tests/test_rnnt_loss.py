@@ -153,3 +153,29 @@ def test_loss_is_jittable_and_stable():
     g = jax.jit(jax.grad(lambda lg: jnp.sum(rnnt_loss(
         lg, labels, xlen, ylen, blank=0))))(logits)
     assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_edge_cases_empty_labels_and_min_lattice():
+    """ylen=0 (pure blank path) and T=1 minimal lattices."""
+    key = jax.random.PRNGKey(11)
+    B, T, U, V = 2, 4, 3, 8
+    logits = jax.random.normal(key, (B, T, U + 1, V))
+    labels = jnp.zeros((B, U), jnp.int32)
+    xlen = jnp.asarray([4, 2])
+    ylen = jnp.asarray([0, 0])
+    loss = rnnt_loss(logits, labels, xlen, ylen)
+    # pure blank path: loss = -sum_t log P(blank | t, u=0)
+    lp = jax.nn.log_softmax(logits, axis=-1)
+    for b, L in enumerate([4, 2]):
+        want = -float(jnp.sum(lp[b, :L, 0, 0]))
+        np.testing.assert_allclose(float(loss[b]), want, rtol=1e-5)
+
+    # T == 1, U == 1: exactly one alignment (label then blank is impossible
+    # in 1 frame... blank only if ylen=0; label+blank needs t<1 for label
+    # and consumes the frame with blank)
+    logits1 = jax.random.normal(key, (1, 1, 2, V))
+    l1 = rnnt_loss(logits1, jnp.asarray([[3]]), jnp.asarray([1]),
+                   jnp.asarray([1]))
+    lp1 = jax.nn.log_softmax(logits1, axis=-1)
+    want1 = -float(lp1[0, 0, 0, 3] + lp1[0, 0, 1, 0])
+    np.testing.assert_allclose(float(l1[0]), want1, rtol=1e-5)
