@@ -71,9 +71,13 @@ def main(argv):
     train_sets = [_ShardedDataset(d, jax.process_index(),
                                   jax.process_count())
                   for d in train_sets]
+    # every process must participate in the (global-mesh) eval computation;
+    # each evaluates its shard of the eval set
+    if eval_set is not None:
+        eval_set = _ShardedDataset(eval_set, jax.process_index(),
+                                   jax.process_count())
     trainer = Trainer(FLAGS, train_datasets=train_sets,
-                      eval_dataset=eval_set if jax.process_index() == 0
-                      else None)
+                      eval_dataset=eval_set)
     if FLAGS.mode == 'resume':
         print(f'resumed from step {trainer.load(FLAGS.resume_step)}')
     trainer.train()

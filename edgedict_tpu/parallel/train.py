@@ -69,16 +69,26 @@ def batch_sharding(mesh, with_accum_axis=True):
     return NamedSharding(mesh, P('dp'))
 
 
+def put_sharded(value, sharding):
+    """Place a host array onto a (possibly multi-host) sharding.  In
+    multi-process runs each host passes its LOCAL shard and the global
+    array is assembled across hosts."""
+    if jax.process_count() > 1:
+        return jax.make_array_from_process_local_data(sharding, value)
+    return jax.device_put(value, sharding)
+
+
 def shard_batch(mesh, batch, accum_steps=1):
     """Host batch dict (B, ...) → device arrays (accum, micro, ...) laid out
-    over the mesh."""
+    over the mesh.  Multi-host: B is the per-host batch; the global batch is
+    B × process_count, assembled by put_sharded."""
     out = {}
     for k, v in batch.items():
         v = np.asarray(v)
         b = v.shape[0]
         assert b % accum_steps == 0, (k, b, accum_steps)
         v = v.reshape((accum_steps, b // accum_steps) + v.shape[1:])
-        out[k] = jax.device_put(v, batch_sharding(mesh))
+        out[k] = put_sharded(v, batch_sharding(mesh))
     return out
 
 

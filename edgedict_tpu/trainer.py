@@ -95,13 +95,14 @@ class Trainer:
         self.mesh = mesh if mesh is not None else make_mesh(
             dp=FLAGS.dp_size, tp=FLAGS.tp_size)
         self.accum_steps = max(1, FLAGS.batch_size // FLAGS.sub_batch_size)
-        dp = self.mesh.shape['dp']
-        assert FLAGS.sub_batch_size % dp == 0, (
+        # per-host batches must split across this host's share of 'dp'
+        dp_local = max(1, self.mesh.shape['dp'] // jax.process_count())
+        assert FLAGS.sub_batch_size % dp_local == 0, (
             f'sub_batch_size ({FLAGS.sub_batch_size}) must be divisible by '
-            f'the data-parallel mesh size ({dp})')
-        assert FLAGS.eval_batch_size % dp == 0, (
+            f'the per-host data-parallel size ({dp_local})')
+        assert FLAGS.eval_batch_size % dp_local == 0, (
             f'eval_batch_size ({FLAGS.eval_batch_size}) must be divisible '
-            f'by the data-parallel mesh size ({dp})')
+            f'by the per-host data-parallel size ({dp_local})')
         self.optimizer = optim.build_optimizer(
             FLAGS.optim, lr=FLAGS.lr, gradclip=FLAGS.gradclip)
         self._build_model_and_steps()
@@ -125,12 +126,14 @@ class Trainer:
             bucket=self.bucket, drop_last=True,
             prefetch=0) if self.eval_dataset is not None else None
 
-        try:
-            from tensorboardX import SummaryWriter
-            self.writer = SummaryWriter(self.logdir)
-        except Exception:
-            self.writer = None
-        snapshot_flags(FLAGS, self.logdir)
+        self.writer = None
+        if jax.process_index() == 0:     # one host owns logging artifacts
+            try:
+                from tensorboardX import SummaryWriter
+                self.writer = SummaryWriter(self.logdir)
+            except Exception:
+                pass
+            snapshot_flags(FLAGS, self.logdir)
         self._rng = jax.random.PRNGKey(1234)
         self._best_wer = float('inf')
 
@@ -213,9 +216,11 @@ class Trainer:
                         # best-WER checkpoint (the lightning policy,
                         # cli/lightning.py:147-159)
                         self._best_wer = val_wer
-                        import shutil
-                        shutil.copy(self.save(),
-                                    os.path.join(self.logdir, 'best.ckpt'))
+                        path = self.save()
+                        if jax.process_index() == 0:
+                            import shutil
+                            shutil.copy(path, os.path.join(self.logdir,
+                                                           'best.ckpt'))
                 if step >= total:
                     break
         self.save()
@@ -226,8 +231,10 @@ class Trainer:
         for i, batch in enumerate(self.eval_loader):
             if max_batches is not None and i >= max_batches:
                 break
-            dev = {k: jax.device_put(
-                v, batch_sharding(self.mesh, with_accum_axis=False))
+            from edgedict_tpu.parallel import put_sharded
+            dev = {k: put_sharded(
+                np.asarray(v),
+                batch_sharding(self.mesh, with_accum_axis=False))
                 for k, v in batch.items()}
             loss, y_seq, out_len = self.eval_step(self.state.params, dev)
             losses.append(float(loss))
@@ -255,6 +262,9 @@ class Trainer:
     # ------------------------------------------------------------------
     def save(self):
         step = int(self.state.step)
+        if jax.process_count() > 1 and jax.process_index() != 0:
+            # params are replicated — process 0 writes for everyone
+            return checkpoint_path(self.logdir, step)
         return save_checkpoint(
             self.logdir, step, self.state.params, self.state.opt_state,
             self.sched.state_dict() if self.sched else None,
