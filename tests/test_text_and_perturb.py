@@ -77,3 +77,21 @@ def test_manifest(tmp_path):
     assert m[0]['duration'] == 1.0
     assert m[1]['text'] == 'hello third'
     assert m.filtered_duration == 50.0
+
+
+def test_numpy_seed_context():
+    from edgedict_tpu.utils import numpy_seed
+    np.random.seed(123)
+    with numpy_seed(7):
+        a = np.random.rand(3)
+    with numpy_seed(7):
+        b = np.random.rand(3)
+    np.testing.assert_allclose(a, b)
+    # outer stream restored
+    np.random.seed(123)
+    before = np.random.rand(3)
+    np.random.seed(123)
+    with numpy_seed(7):
+        np.random.rand(10)
+    after = np.random.rand(3)
+    np.testing.assert_allclose(before, after)
