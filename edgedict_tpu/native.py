@@ -37,6 +37,7 @@ _rnnt = _load('librnnt_loss.so')
 _bpe = _load('libchar_bpe.so')
 _bucket = _load('libbucketing.so')
 _flac = _load('libflac_decoder.so')
+_bpe_tr = _load('libbpe_trainer.so')
 
 if _rnnt is not None:
     _rnnt.rnnt_loss_cpu.restype = ctypes.c_int
@@ -51,9 +52,52 @@ if _flac is not None:
     _flac.flac_decode.restype = ctypes.c_int64
 
 
+if _bpe_tr is not None:
+    _bpe_tr.bpe_trainer_create.restype = ctypes.c_void_p
+    _bpe_tr.bpe_trainer_add_symbol.restype = ctypes.c_int32
+    _bpe_tr.bpe_trainer_train.restype = ctypes.c_int
+
+
 def available():
     return {'rnnt_loss': _rnnt is not None, 'char_bpe': _bpe is not None,
-            'bucketing': _bucket is not None, 'flac': _flac is not None}
+            'bucketing': _bucket is not None, 'flac': _flac is not None,
+            'bpe_trainer': _bpe_tr is not None}
+
+
+def train_bpe_merges(word_freqs, initial_symbols, max_merges,
+                     min_frequency=2):
+    """Learn BPE merges natively.
+
+    word_freqs: list of (symbol_string_tuple, freq);
+    initial_symbols: ORDERED list of initial symbol strings.
+    Returns the merge list [(left_str, right_str), ...] — identical to the
+    pure-Python trainer's output (same lexicographic tie-breaking).
+    """
+    assert _bpe_tr is not None, 'build native/libbpe_trainer.so first'
+    h = ctypes.c_void_p(_bpe_tr.bpe_trainer_create())
+    try:
+        sym_id = {}
+        for s in initial_symbols:
+            sym_id[s] = _bpe_tr.bpe_trainer_add_symbol(
+                h, s.encode('utf-8'))
+        for symbols, freq in word_freqs:
+            ids = np.asarray([sym_id[s] for s in symbols], np.int32)
+            _bpe_tr.bpe_trainer_add_word(
+                h, _ptr(ids, ctypes.c_int32), len(ids),
+                ctypes.c_int64(int(freq)))
+        out = np.zeros((max(max_merges, 1), 2), np.int32)
+        n = _bpe_tr.bpe_trainer_train(h, max_merges,
+                                      ctypes.c_int64(min_frequency),
+                                      _ptr(out, ctypes.c_int32))
+        names = list(initial_symbols)
+        merges = []
+        for i in range(n):
+            a, b = int(out[i, 0]), int(out[i, 1])
+            merges.append((names[a], names[b]))
+            names.append(names[a] + names[b])
+        return merges
+    finally:
+        _bpe_tr.bpe_trainer_destroy(h)
 
 
 # ---------------------------------------------------------------------------

@@ -266,7 +266,10 @@ class CharBPE:
     @classmethod
     def train(cls, texts, vocab_size, special_tokens, lowercase=True,
               min_frequency=2):
-        """Classic BPE training: repeatedly merge the most frequent pair."""
+        """Classic BPE training: repeatedly merge the most frequent pair.
+        Runs on the native trainer (native/bpe_trainer.cpp — incremental
+        pair counts + lazy heap) when built; the pure-Python loop below is
+        the fallback and produces IDENTICAL merges (property-tested)."""
         word_freq = {}
         for text in texts:
             if lowercase:
@@ -289,6 +292,22 @@ class CharBPE:
         for sym in sorted(alphabet):
             if sym not in vocab:
                 vocab[sym] = len(vocab)
+
+        try:
+            from edgedict_tpu.native import available, train_bpe_merges
+            native_ok = available()['bpe_trainer']
+        except Exception:
+            native_ok = False
+        if native_ok:
+            merges = train_bpe_merges(
+                [(tuple(s), f) for s, f in words], sorted(alphabet),
+                max_merges=max(vocab_size - len(vocab), 0),
+                min_frequency=min_frequency)
+            for a, b in merges:
+                vocab[a + b] = len(vocab)
+            return cls(vocab, merges, lowercase=lowercase,
+                       unk_token=special_tokens[-1] if special_tokens
+                       else UNK_token)
 
         merges = []
         while len(vocab) < vocab_size:

@@ -122,3 +122,34 @@ def test_flac_decoder_reference_utterance():
     from edgedict_tpu.data import load_audio
     a2, sr2 = load_audio(path)
     np.testing.assert_allclose(a2, audio)
+
+
+def test_native_bpe_trainer_matches_python():
+    """Native incremental trainer == pure-Python from-scratch trainer on
+    random corpora (same merges, same vocab, same tie-breaking)."""
+    import random
+    from edgedict_tpu.tokenizer import CharBPE
+
+    rng = random.Random(0)
+    words = ['the', 'thin', 'this', 'that', 'cat', 'cart', 'car', 'art',
+             'tart', 'hat', 'chat', 'than', 'ant', 'rat', 'tin', 'hint']
+    texts = [' '.join(rng.choice(words) for _ in range(20))
+             for _ in range(60)]
+    specials = ['<nul>', '<pad>', '<bos>', '<unk>']
+
+    import edgedict_tpu.tokenizer as tok_mod
+    # force the python path by training with native disabled
+    import edgedict_tpu.native as nat
+    saved = nat._bpe_tr
+    try:
+        nat._bpe_tr = None
+        py = CharBPE.train(texts, 64, specials)
+    finally:
+        nat._bpe_tr = saved
+    assert nat._bpe_tr is not None, 'native trainer not built'
+    cc = CharBPE.train(texts, 64, specials)
+
+    assert cc.merges == py.merges
+    assert cc.vocab == py.vocab
+    s = 'that thin cat chatted in the cart'
+    assert cc.encode(s) == py.encode(s)
