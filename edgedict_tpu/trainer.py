@@ -75,6 +75,23 @@ def build_datasets(FLAGS, tokenizer):
     return train, eval_ds
 
 
+def pick_accum_steps(batch_size, sub_batch_size, dp_local=1):
+    """Gradient-accumulation steps honoring sub_batch_size as a micro-batch
+    UPPER BOUND (the reference's ragged sub-batch loop, cli/baseline.py:
+    214-237, accepted non-divisors like E6D2_LARGE_Batch's 128/7; the
+    static-shape scan needs equal micro-batches, so we take the largest
+    divisor micro-batch ≤ sub_batch_size that splits across dp)."""
+    for accum in range(1, batch_size + 1):
+        if batch_size % accum:
+            continue
+        micro = batch_size // accum
+        if micro <= sub_batch_size and micro % dp_local == 0:
+            return accum
+    raise ValueError(
+        f'no micro-batch ≤ sub_batch_size={sub_batch_size} divides '
+        f'batch_size={batch_size} and the per-host dp size {dp_local}')
+
+
 class Trainer:
     def __init__(self, FLAGS, train_datasets=None, eval_dataset=None,
                  mesh=None):
@@ -94,12 +111,10 @@ class Trainer:
 
         self.mesh = mesh if mesh is not None else make_mesh(
             dp=FLAGS.dp_size, tp=FLAGS.tp_size)
-        self.accum_steps = max(1, FLAGS.batch_size // FLAGS.sub_batch_size)
         # per-host batches must split across this host's share of 'dp'
         dp_local = max(1, self.mesh.shape['dp'] // jax.process_count())
-        assert FLAGS.sub_batch_size % dp_local == 0, (
-            f'sub_batch_size ({FLAGS.sub_batch_size}) must be divisible by '
-            f'the per-host data-parallel size ({dp_local})')
+        self.accum_steps = pick_accum_steps(
+            FLAGS.batch_size, FLAGS.sub_batch_size, dp_local)
         assert FLAGS.eval_batch_size % dp_local == 0, (
             f'eval_batch_size ({FLAGS.eval_batch_size}) must be divisible '
             f'by the per-host data-parallel size ({dp_local})')

@@ -134,3 +134,16 @@ def test_nonfinite_grad_skips_update():
     assert float(metrics['skipped']) == 0.0
     assert not np.allclose(
         np.asarray(state.params['joint']['out']['b']), before)
+
+
+def test_pick_accum_steps_reference_presets():
+    from edgedict_tpu.trainer import pick_accum_steps
+    # E6D2_LARGE_Batch.txt: batch 128, sub 7 → micro 4 (largest divisor ≤ 7)
+    assert pick_accum_steps(128, 7, 1) == 32
+    assert pick_accum_steps(128, 7, 4) == 32
+    # E4D1.txt: batch 32, sub 16 → exact split
+    assert pick_accum_steps(32, 16, 1) == 2
+    # E6D2.txt: batch 32, sub 32 → no accumulation
+    assert pick_accum_steps(32, 32, 1) == 1
+    with pytest.raises(ValueError):
+        pick_accum_steps(6, 1, 4)   # nothing fits
