@@ -70,6 +70,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--steps', type=int, default=400)
     ap.add_argument('--logdir', default='/tmp/edgedict_synth')
+    ap.add_argument('--tokenizer', default='char', choices=['char', 'bpe'])
+    ap.add_argument('--beam', type=int, default=0,
+                    help='also evaluate with beam search of this width')
+    ap.add_argument('--lm_fusion', type=float, default=0.0,
+                    help='train an LM on the corpus and fuse at this weight')
     args = ap.parse_args()
 
     from edgedict_tpu.config import FLAGS, ensure_parsed
@@ -104,10 +109,17 @@ def main():
     FLAGS.dp_size = 1
     FLAGS.tp_size = 1
 
-    from edgedict_tpu.tokenizer import CharTokenizer
     import os
-    os.makedirs(os.path.join(args.logdir, 'char'), exist_ok=True)
-    tok = CharTokenizer(cache_dir=os.path.join(args.logdir, 'char'))
+    if args.tokenizer == 'bpe':
+        from edgedict_tpu.tokenizer import HuggingFaceTokenizer
+        FLAGS.tokenizer = 'bpe'
+        FLAGS.bpe_size = 64
+        tok = HuggingFaceTokenizer(
+            cache_dir=os.path.join(args.logdir, 'BPE-64'), vocab_size=64)
+    else:
+        from edgedict_tpu.tokenizer import CharTokenizer
+        os.makedirs(os.path.join(args.logdir, 'char'), exist_ok=True)
+        tok = CharTokenizer(cache_dir=os.path.join(args.logdir, 'char'))
     train_set = ToyCorpus(tok, 256, seed=0)
     eval_set = ToyCorpus(tok, 48, seed=1)
     tok.build(train_set.texts())
@@ -127,7 +139,64 @@ def main():
             if step >= args.steps:
                 break
     loss, wer = trainer.evaluate()
-    print(f'FINAL held-out: loss {loss:.3f} WER {wer:.4f}')
+    print(f'FINAL held-out (greedy): loss {loss:.3f} WER {wer:.4f}')
+
+    if args.beam:
+        import jax
+        import jax.numpy as jnp
+        from edgedict_tpu.metrics import wer as wer_fn
+        from edgedict_tpu.models.beam_search import transducer_beam_search
+
+        lm = None
+        if args.lm_fusion > 0:
+            # quick LM on the training transcripts
+            import optax
+            from edgedict_tpu.models.lm import LMConfig, lm_init, lm_loss
+            lm_cfg = LMConfig(vocab_size=tok.vocab_size, embed_size=32,
+                              hidden_size=64, num_layers=1)
+            lm_params = lm_init(jax.random.PRNGKey(3), lm_cfg)
+            opt = optax.adam(3e-3)
+            ost = opt.init(lm_params)
+            texts = train_set.texts()
+            ids = []
+            for t in texts:
+                ids.extend([2] + tok.encode(t))
+            ids = np.asarray(ids, np.int32)
+            seq = 32
+            n = (len(ids) - 1) // seq
+
+            @jax.jit
+            def lm_step(p, s, ys):
+                ylen = jnp.full((ys.shape[0],), ys.shape[1], jnp.int32)
+                l, g = jax.value_and_grad(lm_loss)(p, lm_cfg, ys, ylen)
+                u, s = opt.update(g, s, p)
+                return optax.apply_updates(p, u), s, l
+
+            rng2 = np.random.RandomState(0)
+            for _ in range(200):
+                starts = rng2.randint(0, n, 8) * seq
+                ys = jnp.asarray(np.stack(
+                    [ids[s:s + seq + 1] for s in starts]))
+                lm_params, ost, lml = lm_step(lm_params, ost, ys)
+            print(f'LM trained: loss {float(lml):.3f}')
+            lm = (lm_params, lm_cfg, args.lm_fusion)
+
+        refs, hyps = [], []
+        for batch in trainer.eval_loader:
+            xs, xlen = trainer.pipeline(
+                jnp.asarray(batch['audio']), jnp.asarray(batch['alen']))
+            toks, n_tok, _ = transducer_beam_search(
+                trainer.state.params, trainer.cfg, xs, xlen,
+                beam_width=args.beam, max_sym_per_frame=2,
+                max_tokens=64, lm=lm)
+            for b in range(toks.shape[0]):
+                hyps.append(tok.decode(
+                    [int(t) for t in toks[b][:int(n_tok[b])]]))
+                y = batch['ys'][b][:batch['ylen'][b]]
+                refs.append(tok.decode([int(t) for t in y]))
+        bwer = wer_fn(refs, hyps)
+        print(f'FINAL held-out (beam W={args.beam}'
+              f'{", LM fusion" if lm else ""}): WER {bwer:.4f}')
     return 0 if wer < 0.3 else 1
 
 
