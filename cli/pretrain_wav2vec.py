@@ -55,9 +55,15 @@ def main(argv):
                       f'loss {float(metrics["loss"]):.4f} acc {acc:.4f} '
                       f'ppl {float(metrics.get("prob_perplexity", 0)):.1f}')
             if step % FLAGS.eval_iteration == 0:
-                acc = float(metrics.get('correct', 0)) / max(
-                    float(metrics.get('count', 1)), 1)
-                pretrainer.save_best(acc)
+                ev = pretrainer.evaluate()
+                if ev is not None:
+                    print(f'eval @ {step}: acc {ev["accuracy"]:.4f} '
+                          f'loss {ev["loss"]:.4f}')
+                    pretrainer.save_best(ev['accuracy'])
+                else:   # no eval corpus: fall back to train accuracy
+                    acc = float(metrics.get('correct', 0)) / max(
+                        float(metrics.get('count', 1)), 1)
+                    pretrainer.save_best(acc)
     pretrainer.save_best(-0.5)  # always leave a final checkpoint
 
 

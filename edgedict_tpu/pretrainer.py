@@ -124,6 +124,17 @@ class Wav2VecPretrainer:
             cfg, self.optimizer, self.mesh, bf16=FLAGS.bf16,
             loss_fn=loss_fn, loss_has_aux=True,
             batch_keys=('audio', 'alen', 'mask_idx'))
+
+        def eval_fn(params, batch, rng, temp):
+            res = W.wav2vec_forward(params, cfg, batch['audio'],
+                                    batch['mask_idx'], temp=temp,
+                                    rng=rng, training=False)
+            _, metrics = W.contrastive_loss(
+                res, prob_ppl_weight=FLAGS.prob_perplex,
+                features_pen_weight=FLAGS.features_pen)
+            return metrics
+
+        self._eval_fn = jax.jit(eval_fn)
         self._rng = jax.random.PRNGKey(77)
         self._np_rng = np.random.RandomState(0)
         self.best_accuracy = -1.0
@@ -171,6 +182,40 @@ class Wav2VecPretrainer:
             self.state, sharded, sub, jnp.asarray(lr, jnp.float32),
             {'temp': jnp.asarray(temp, jnp.float32)})
         return metrics
+
+    def evaluate(self, max_batches=8):
+        """Held-out contrastive accuracy (the reference's evaluate(),
+        cli/pretrain_wav2vec.py:55-90: best checkpoints track EVAL accuracy,
+        not train)."""
+        if self.eval_dataset is None:
+            return None
+        F = self.FLAGS
+        correct = count = 0
+        loss_sum = n = 0.0
+        for start in range(0, min(len(self.eval_dataset),
+                                  max_batches * F.eval_batch_size),
+                           F.eval_batch_size):
+            samples = [self.eval_dataset[i]
+                       for i in range(start,
+                                      min(start + F.eval_batch_size,
+                                          len(self.eval_dataset)))]
+            if len(samples) < F.eval_batch_size:
+                break
+            batch = self.make_batch(samples)
+            step = int(self.state.step)
+            temp = max(F.init_temp * F.temp_decay ** step, F.min_temp)
+            m = self._eval_fn(self.state.params,
+                              {k: jnp.asarray(v) for k, v in batch.items()},
+                              jax.random.PRNGKey(0),
+                              jnp.asarray(temp, jnp.float32))
+            correct += float(m['correct'])
+            count += float(m['count'])
+            loss_sum += float(m['loss'])
+            n += 1
+        if count == 0:
+            return None
+        return {'accuracy': correct / count,
+                'loss': loss_sum / max(n, 1)}
 
     def save_best(self, accuracy):
         if accuracy > self.best_accuracy:

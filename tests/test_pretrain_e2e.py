@@ -107,3 +107,17 @@ def test_pretrain_and_splice(pretrain_flags):
            for k, v in batch.items()}
     loss, y_seq, out_len = trainer.eval_step(trainer.state.params, dev)
     assert np.isfinite(float(loss))
+
+
+def test_pretrainer_evaluate(pretrain_flags):
+    from edgedict_tpu.pretrainer import Wav2VecPretrainer
+    ds = _ToyAudioDataset()
+    eval_ds = _ToyAudioDataset(n=4)
+    FLAGS.name = 'w2v-eval-test'
+    pre = Wav2VecPretrainer(FLAGS, ds, eval_ds)
+    batch = pre.make_batch([ds[j] for j in range(4)])
+    pre.run_step(batch)
+    ev = pre.evaluate()
+    assert ev is not None
+    assert 0.0 <= ev['accuracy'] <= 1.0
+    assert np.isfinite(ev['loss'])
