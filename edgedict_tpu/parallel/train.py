@@ -52,7 +52,10 @@ def param_sharding(params, mesh):
     over 'tp' (weight (V, J) and bias (V,)), everything else replicated."""
     def spec_for(path, leaf):
         keys = [getattr(p, 'key', getattr(p, 'idx', None)) for p in path]
-        if 'joint' in keys and 'out' in keys:
+        if 'joint' in keys and 'out' in keys \
+                and leaf.shape[0] % mesh.shape['tp'] == 0:
+            # vocab axis must divide across 'tp' (odd char vocabs stay
+            # replicated rather than failing at placement)
             if leaf.ndim == 2:
                 return NamedSharding(mesh, P('tp', None))
             if leaf.ndim == 1:
