@@ -144,11 +144,14 @@ class DataLoader:
 
         q = queue.Queue(maxsize=self.prefetch)
         stop = object()
+        error = []
 
         def worker():
             try:
                 for idxs in batches:
                     q.put(self.collate_fn([self.dataset[i] for i in idxs]))
+            except BaseException as e:     # surface in the consumer
+                error.append(e)
             finally:
                 q.put(stop)
 
@@ -157,5 +160,7 @@ class DataLoader:
         while True:
             item = q.get()
             if item is stop:
+                if error:
+                    raise error[0]
                 break
             yield item

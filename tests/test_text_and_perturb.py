@@ -95,3 +95,24 @@ def test_numpy_seed_context():
         np.random.rand(10)
     after = np.random.rand(3)
     np.testing.assert_allclose(before, after)
+
+
+def test_dataloader_propagates_worker_errors():
+    from edgedict_tpu.data import DataLoader
+
+    class Bad:
+        data = [{'audio_length': 1}] * 4
+
+        def __len__(self):
+            return 4
+
+        def __getitem__(self, i):
+            if i == 2:
+                raise RuntimeError('corrupt sample')
+            return np.zeros(10, np.float32), np.asarray([4], np.int32)
+
+    loader = DataLoader(Bad(), batch_size=2, shuffle=False, prefetch=2)
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError, match='corrupt sample'):
+        for _ in loader:
+            pass
