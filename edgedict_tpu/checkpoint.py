@@ -51,15 +51,23 @@ def load_checkpoint(path, params_template, opt_state_template=None):
     come from the templates; values from disk)."""
     with open(path, 'rb') as f:
         data = f.read()
-    target = {
-        'step': 0,
-        'model': _to_host(params_template),
-        'optim': (_to_host(opt_state_template)
-                  if opt_state_template is not None else None),
-        'sched': None,
-        'extra': '',
-    }
-    payload = serialization.from_bytes(target, data)
+    def attempt(optim_template):
+        target = {
+            'step': 0,
+            'model': _to_host(params_template),
+            'optim': optim_template,
+            'sched': None,
+            'extra': '',
+        }
+        return serialization.from_bytes(target, data)
+
+    try:
+        payload = attempt(_to_host(opt_state_template)
+                          if opt_state_template is not None else None)
+    except Exception:
+        # checkpoint was saved without optimizer state (e.g. an imported
+        # reference model) or with a different optimizer — model-only load
+        payload = attempt(None)
     import json as _json
     payload['extra'] = (_json.loads(payload['extra'])
                         if payload.get('extra') else None)

@@ -296,9 +296,12 @@ class Trainer:
         from edgedict_tpu.parallel import param_sharding
         shardings = param_sharding(payload['model'], self.mesh)
         params = jax.tree.map(jax.device_put, payload['model'], shardings)
+        opt_state = (jax.tree.map(jnp.asarray, payload['optim'])
+                     if payload['optim'] is not None
+                     else self.optimizer.init(params))   # model-only ckpt
         self.state = self.state._replace(
             step=jnp.asarray(payload['step'], jnp.int32), params=params,
-            opt_state=jax.tree.map(jnp.asarray, payload['optim']))
+            opt_state=opt_state)
         if self.sched is not None and payload['sched'] is not None:
             self.sched.load_state_dict(payload['sched'])
         extra = payload.get('extra') or {}

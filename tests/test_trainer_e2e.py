@@ -118,3 +118,24 @@ def test_stream_cli_decoder_from_trained_logdir(flags_env):
     audio, sr = load_audio(wav)
     text = dec.decode_wav(audio)
     assert isinstance(text, str)
+
+
+def test_load_model_only_checkpoint(flags_env):
+    """A checkpoint without optimizer state (cli.import_checkpoint output)
+    loads into the Trainer with a freshly initialized optimizer."""
+    import jax
+    from edgedict_tpu.checkpoint import save_checkpoint
+    from edgedict_tpu.data import Librispeech
+    from edgedict_tpu.trainer import Trainer, build_tokenizer
+
+    tok = build_tokenizer(FLAGS)
+    ds = Librispeech(flags_env, tok, audio_max_length=5)
+    FLAGS.name = 'model-only'
+    trainer = Trainer(FLAGS, train_datasets=[ds], eval_dataset=None)
+    save_checkpoint(trainer.logdir, 7, trainer.state.params)   # no optim
+    step = trainer.load()
+    assert step == 7
+    # a train step still runs with the fresh optimizer state
+    batch = next(iter(trainer.loader))
+    m = trainer.run_step(batch)
+    assert np.isfinite(float(m['loss']))
