@@ -25,6 +25,8 @@ flags.DEFINE_string('model_name', None,
                     '(default: latest)')
 flags.DEFINE_integer('beam_width', 1,
                      '>1 switches to streaming beam search')
+flags.DEFINE_bool('merge_prefixes', False,
+                  'exact Graves prefix-probability summation in beam search')
 
 
 def build_stream_decoder(FLAGS):
@@ -63,9 +65,11 @@ def build_stream_decoder(FLAGS):
         print('WARNING: no checkpoint found — using random weights')
     if getattr(FLAGS, 'beam_width', 1) > 1:
         from edgedict_tpu.stream import StreamingBeamDecoder
-        return StreamingBeamDecoder(params, cfg, feature_cfg, tokenizer,
-                                    step_n_frame=FLAGS.step_n_frame,
-                                    beam_width=FLAGS.beam_width)
+        return StreamingBeamDecoder(
+            params, cfg, feature_cfg, tokenizer,
+            step_n_frame=FLAGS.step_n_frame,
+            beam_width=FLAGS.beam_width,
+            merge_prefixes=getattr(FLAGS, 'merge_prefixes', False))
     return StreamingDecoder(params, cfg, feature_cfg, tokenizer,
                             step_n_frame=FLAGS.step_n_frame)
 

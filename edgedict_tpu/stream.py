@@ -146,7 +146,7 @@ class StreamingBeamDecoder:
 
     def __init__(self, params, cfg, feature_cfg: FeatureConfig, tokenizer,
                  step_n_frame=2, beam_width=4, max_sym_per_frame=2,
-                 max_tokens=200, lm=None):
+                 max_tokens=200, lm=None, merge_prefixes=False):
         assert not feature_cfg.pad_to_divisible
         from edgedict_tpu.models.beam_search import (
             best_hypothesis, make_beam_machinery)
@@ -160,7 +160,7 @@ class StreamingBeamDecoder:
         self._init_beam, frame_step = make_beam_machinery(
             params, cfg, batch=1, beam_width=beam_width,
             max_sym_per_frame=max_sym_per_frame, max_tokens=max_tokens,
-            lm=lm)
+            lm=lm, merge_prefixes=merge_prefixes)
         pipeline = self.pipeline
 
         def chunk_step(params, enc_state, beam, audio):
