@@ -21,6 +21,9 @@ flags.DEFINE_string('backends', 'jit', 'comma list: jit,exported')
 flags.DEFINE_string('wav_dir', None,
                     'override: directory of wavs + .trans.txt '
                     '(default LibriSpeech_test)')
+flags.DEFINE_bool('per_stage', False,
+                  'also report per-component ms (featurize/encoder/joint/'
+                  'decoder run unfused, the reference README latency table)')
 
 
 def run_backend(name, decoder, utts, tokenizer):
@@ -76,6 +79,10 @@ def main(argv):
     if 'jit' in backends:
         dec = build_stream_decoder(FLAGS)
         run_backend('jit', dec, utts, tokenizer)
+        if FLAGS.per_stage and hasattr(dec, 'profile_components'):
+            stages = dec.profile_components(utts[0][0])
+            print('[jit per-stage ms] ' + '  '.join(
+                f'{k} {v:.3f}' for k, v in stages.items()))
     if 'exported' in backends:
         from edgedict_tpu.export import ExportedStreamDecoder
         from edgedict_tpu.features import FeatureConfig, FeaturePipeline

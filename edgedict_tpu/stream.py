@@ -331,6 +331,58 @@ class StreamingDecoder:
         self._steps += len(chunks)
         return self._detok(tokens)
 
+    def profile_components(self, audio: np.ndarray, max_chunks=50):
+        """Per-stage wall times (the reference's reset_profile protocol,
+        rnnt/stream.py:16-26 and the README latency table): runs the
+        featurizer / encoder / joint / prediction net as SEPARATE jitted
+        calls over `max_chunks` chunks and reports mean ms per stage.
+        The production path fuses all four into one dispatch — this mode
+        exists for apples-to-apples comparison with the reference."""
+        cfg = self.cfg
+        params = self.params
+        feat_fn = jax.jit(lambda a: self.pipeline(
+            a, jnp.full((1,), a.shape[1], jnp.int32), train=False)[0])
+        enc_fn = jax.jit(lambda x, s: T.encoder_apply(
+            params['encoder'], cfg, x, s))
+        joint_fn = jax.jit(lambda e, d: T.joint_apply(
+            params['joint'], e, d))
+        dec_fn = jax.jit(lambda tok, s: T.decoder_apply(
+            params['decoder'], cfg, tok, s))
+
+        n = min((len(audio) - self.win_size) // self.hop_size + 1,
+                max_chunks)
+        enc_state = T.encoder_zero_state(cfg, 1)
+        h_dec, dec_state = T.decoder_apply(
+            params['decoder'], cfg, jnp.zeros((1, 0), jnp.int32))
+        h_dec = h_dec[:, 0]
+        times = {'featurize': [], 'encoder': [], 'joint': [], 'decoder': []}
+        for i in range(max(n, 0)):
+            chunk = jnp.asarray(
+                audio[i * self.hop_size:i * self.hop_size + self.win_size],
+                jnp.float32)[None]
+            t0 = time.time()
+            xs = feat_fn(chunk).block_until_ready()
+            times['featurize'].append(time.time() - t0)
+            t0 = time.time()
+            enc_xs, enc_state = enc_fn(xs, enc_state)
+            enc_xs.block_until_ready()
+            times['encoder'].append(time.time() - t0)
+            for k in range(enc_xs.shape[1]):
+                t0 = time.time()
+                logits = joint_fn(enc_xs[:, k], h_dec)
+                pred = int(jnp.argmax(logits[0]))
+                times['joint'].append(time.time() - t0)
+                if pred != cfg.blank:
+                    t0 = time.time()
+                    h_new, dec_state = dec_fn(
+                        jnp.full((1, 1), pred, jnp.int32), dec_state)
+                    h_dec = h_new[:, 0].block_until_ready()
+                    times['decoder'].append(time.time() - t0)
+        # drop the compile-laden first samples
+        return {k: (float(np.mean(v[2:])) * 1000 if len(v) > 2 else
+                    (float(np.mean(v)) * 1000 if v else 0.0))
+                for k, v in times.items()}
+
     def decode_wav_pipelined(self, audio: np.ndarray) -> str:
         """Like decode_wav but with lag-1 token fetch: round i's tokens are
         materialized while round i+1's dispatch is in flight, hiding one
