@@ -1,0 +1,246 @@
+"""Pallas TPU kernel for the LSTM time recurrence — the encoder's hot loop.
+
+The scan-based layer (ops/rnn.py) hoists the input projection into one big
+MXU matmul and scans the small recurrence; XLA compiles that scan as a
+device loop.  This kernel replaces the scan with a Pallas grid over T: TPU
+grid steps execute sequentially with automatic HBM↔VMEM pipelining of the
+per-step tiles, while (h, c) live in VMEM scratch across steps and the
+recurrent weight stays VMEM-resident.  Per step: one (B,H)@(H,4H) MXU
+matmul + fused VPU gates.
+
+Work split (keeps VMEM small and MXU fed):
+  * forward kernel: the full recurrence; emits ys and the cell sequence.
+  * backward: XLA recomputes the gate activations with ONE big matmul
+    (x_proj + ys_prev @ W_hh^T — standard rematerialization), the kernel
+    runs only the sequential dh/dc chain (elementwise + one (B,4H)@(4H,H)
+    matmul per step), and dW_hh/db reduce OUTSIDE as one big matmul over
+    the emitted dgates.
+
+`lstm_recurrence_pallas` is a custom-vjp drop-in for the scan recurrence
+(PyTorch gate order i,f,g,o; fp32 state).  Interpret mode keeps CPU tests
+hermetic.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _interpret():
+    return jax.default_backend() != 'tpu'
+
+
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
+
+def _fwd_kernel(xp_ref, whh_ref, h0_ref, c0_ref,
+                ys_ref, cs_ref, hT_ref, cT_ref, h_s, c_s, *, t_len):
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _():
+        h_s[:, :] = h0_ref[:, :]
+        c_s[:, :] = c0_ref[:, :]
+
+    h = h_s[:, :]
+    c = c_s[:, :]
+    gates = xp_ref[:, 0, :] + jnp.dot(
+        h.astype(whh_ref.dtype), whh_ref[:, :],
+        preferred_element_type=jnp.float32)
+    hdim = h.shape[-1]
+    i = jax.nn.sigmoid(gates[:, :hdim])
+    f = jax.nn.sigmoid(gates[:, hdim:2 * hdim])
+    g = jnp.tanh(gates[:, 2 * hdim:3 * hdim])
+    o = jax.nn.sigmoid(gates[:, 3 * hdim:])
+    c = f * c + i * g
+    h = o * jnp.tanh(c)
+    ys_ref[:, 0, :] = h
+    cs_ref[:, 0, :] = c
+    h_s[:, :] = h
+    c_s[:, :] = c
+    hT_ref[:, :] = h
+    cT_ref[:, :] = c
+
+
+def _run_fwd(x_proj, w_hh_t, h0, c0):
+    B, T, H4 = x_proj.shape
+    H = H4 // 4
+    kernel = functools.partial(_fwd_kernel, t_len=T)
+    return pl.pallas_call(
+        kernel,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((B, 1, H4), lambda t: (0, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, H4), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, H), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, H), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((B, 1, H), lambda t: (0, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, 1, H), lambda t: (0, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, H), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, H), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, T, H), jnp.float32),
+            jax.ShapeDtypeStruct((B, T, H), jnp.float32),
+            jax.ShapeDtypeStruct((B, H), jnp.float32),
+            jax.ShapeDtypeStruct((B, H), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((B, H), jnp.float32),
+                        pltpu.VMEM((B, H), jnp.float32)],
+        interpret=_interpret(),
+    )(x_proj, w_hh_t, h0, c0)
+
+
+# ---------------------------------------------------------------------------
+# backward (sequential part only)
+# ---------------------------------------------------------------------------
+
+def _bwd_kernel(acts_ref, cprev_ref, c_ref, dys_ref, whh_t_ref,
+                dhT_ref, dcT_ref, dg_ref, dh0_ref, dc0_ref, dh_s, dc_s,
+                *, t_len):
+    s = pl.program_id(0)          # processes t = T−1−s
+
+    @pl.when(s == 0)
+    def _():
+        dh_s[:, :] = dhT_ref[:, :]
+        dc_s[:, :] = dcT_ref[:, :]
+
+    hdim = dh_s.shape[-1]
+    acts = acts_ref[:, 0, :]
+    i = acts[:, :hdim]
+    f = acts[:, hdim:2 * hdim]
+    g = acts[:, 2 * hdim:3 * hdim]
+    o = acts[:, 3 * hdim:]
+    c_prev = cprev_ref[:, 0, :]
+    tanh_c = jnp.tanh(c_ref[:, 0, :])
+
+    dh = dys_ref[:, 0, :] + dh_s[:, :]
+    do = dh * tanh_c
+    dc = dh * o * (1.0 - tanh_c * tanh_c) + dc_s[:, :]
+    dgates = jnp.concatenate(
+        [dc * g * i * (1.0 - i),
+         dc * c_prev * f * (1.0 - f),
+         dc * i * (1.0 - g * g),
+         do * o * (1.0 - o)], axis=1)                      # (B, 4H)
+    dg_ref[:, 0, :] = dgates
+    dh_prev = jnp.dot(dgates.astype(whh_t_ref.dtype), whh_t_ref[:, :],
+                      preferred_element_type=jnp.float32)
+    dc_prev = dc * f
+    dh_s[:, :] = dh_prev
+    dc_s[:, :] = dc_prev
+    dh0_ref[:, :] = dh_prev
+    dc0_ref[:, :] = dc_prev
+
+
+def _run_bwd(acts, cs_prev, cs, dys, w_hh_t, dhT, dcT):
+    B, T, H4 = acts.shape
+    H = H4 // 4
+    kernel = functools.partial(_bwd_kernel, t_len=T)
+    rev3 = lambda s: (0, T - 1 - s, 0)
+    fixed = lambda s: (0, 0)
+    return pl.pallas_call(
+        kernel,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((B, 1, H4), rev3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, 1, H), rev3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, 1, H), rev3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, 1, H), rev3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((H4, H), fixed, memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, H), fixed, memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, H), fixed, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((B, 1, H4), rev3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, H), fixed, memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, H), fixed, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, T, H4), jnp.float32),
+            jax.ShapeDtypeStruct((B, H), jnp.float32),
+            jax.ShapeDtypeStruct((B, H), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((B, H), jnp.float32),
+                        pltpu.VMEM((B, H), jnp.float32)],
+        interpret=_interpret(),
+    )(acts, cs_prev, cs, dys, w_hh_t, dhT, dcT)
+
+
+# ---------------------------------------------------------------------------
+# custom-vjp wrapper
+# ---------------------------------------------------------------------------
+
+@jax.custom_vjp
+def lstm_recurrence_pallas(x_proj, w_hh_t, h0, c0):
+    """(x_proj (B,T,4H) fp32 incl. bias, w_hh_t (H,4H), h0/c0 (B,H) fp32) →
+    (ys (B,T,H), hT (B,H), cT (B,H)) — the LSTM recurrence as one Pallas
+    kernel (PyTorch gate order i,f,g,o)."""
+    ys, cs, hT, cT = _run_fwd(x_proj, w_hh_t, h0, c0)
+    return ys, hT, cT
+
+
+def _vjp_fwd(x_proj, w_hh_t, h0, c0):
+    ys, cs, hT, cT = _run_fwd(x_proj, w_hh_t, h0, c0)
+    return (ys, hT, cT), (x_proj, w_hh_t, h0, c0, ys, cs)
+
+
+def _vjp_bwd(res, grads):
+    x_proj, w_hh_t, h0, c0, ys, cs = res
+    dys, dhT, dcT = grads
+    B, T, H4 = x_proj.shape
+    H = H4 // 4
+
+    ys_prev = jnp.concatenate([h0[:, None], ys[:, :-1]], axis=1)
+    cs_prev = jnp.concatenate([c0[:, None], cs[:, :-1]], axis=1)
+    # rematerialize gate activations with one big MXU matmul
+    gates = x_proj + jax.lax.dot_general(
+        ys_prev, w_hh_t, (((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    acts = jnp.concatenate(
+        [jax.nn.sigmoid(gates[..., :H]),
+         jax.nn.sigmoid(gates[..., H:2 * H]),
+         jnp.tanh(gates[..., 2 * H:3 * H]),
+         jax.nn.sigmoid(gates[..., 3 * H:])], axis=-1)
+
+    dgates, dh0, dc0 = _run_bwd(
+        acts, cs_prev, cs, dys.astype(jnp.float32),
+        jnp.swapaxes(w_hh_t, 0, 1), dhT.astype(jnp.float32),
+        dcT.astype(jnp.float32))
+
+    # weight grad reduces OUTSIDE as one big matmul over all steps
+    dwhh_t = jax.lax.dot_general(
+        ys_prev.reshape(B * T, H), dgates.reshape(B * T, H4),
+        (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    return dgates, dwhh_t, dh0, dc0
+
+
+lstm_recurrence_pallas.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+def lstm_layer_pallas(params, xs, state):
+    """Drop-in for rnn_ops.lstm_layer backed by the Pallas recurrence."""
+    h0, c0 = state
+    dtype = xs.dtype
+    w_ih = params['w_ih'].astype(dtype)
+    bias = (params['b_ih'] + params['b_hh']).astype(jnp.float32)
+    x_proj = jax.lax.dot_general(
+        xs, w_ih, (((2,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) + bias
+    w_hh_t = jnp.swapaxes(params['w_hh'], 0, 1).astype(jnp.float32)
+    ys, hT, cT = lstm_recurrence_pallas(
+        x_proj, w_hh_t, h0.astype(jnp.float32), c0.astype(jnp.float32))
+    return ys.astype(dtype), (hT.astype(h0.dtype), cT.astype(c0.dtype))

@@ -1,0 +1,65 @@
+"""Pallas LSTM recurrence vs the scan layer: forward and full VJP parity
+(interpret mode on CPU; same kernels compile on TPU)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from edgedict_tpu.ops import rnn as rnn_ops
+from edgedict_tpu.ops.rnn_pallas import lstm_layer_pallas
+
+
+def _setup(b=4, t=12, i=16, h=8, seed=0):
+    params = rnn_ops.lstm_init(jax.random.PRNGKey(seed), i, h)
+    xs = jax.random.normal(jax.random.PRNGKey(seed + 1), (b, t, i))
+    h0 = jax.random.normal(jax.random.PRNGKey(seed + 2), (b, h)) * 0.1
+    c0 = jax.random.normal(jax.random.PRNGKey(seed + 3), (b, h)) * 0.1
+    return params, xs, (h0, c0)
+
+
+def test_forward_parity():
+    params, xs, state = _setup()
+    ys_s, (h_s, c_s) = rnn_ops.lstm_layer(params, xs, state)
+    ys_p, (h_p, c_p) = lstm_layer_pallas(params, xs, state)
+    np.testing.assert_allclose(np.asarray(ys_p), np.asarray(ys_s),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(h_p), np.asarray(h_s),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(c_p), np.asarray(c_s),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_vjp_parity_all_inputs():
+    params, xs, state = _setup(seed=5)
+
+    def loss(layer):
+        def f(params, xs, state):
+            ys, (h, c) = layer(params, xs, state)
+            # exercise dys, dhT and dcT cotangents with different weights
+            return (jnp.sum(ys * jnp.cos(jnp.arange(ys.shape[1])
+                                         )[None, :, None])
+                    + 2.0 * jnp.sum(h) + 3.0 * jnp.sum(c * c))
+        return f
+
+    g_s = jax.grad(loss(rnn_ops.lstm_layer), argnums=(0, 1, 2))(
+        params, xs, state)
+    g_p = jax.grad(loss(lstm_layer_pallas), argnums=(0, 1, 2))(
+        params, xs, state)
+    for a, b in zip(jax.tree.leaves(g_s), jax.tree.leaves(g_p)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_state_carry_chunks():
+    """Chunked calls with carried state == one full call (streaming)."""
+    params, xs, state = _setup(t=10, seed=9)
+    full, (h_f, c_f) = lstm_layer_pallas(params, xs, state)
+    outs = []
+    st = state
+    for k in range(0, 10, 5):
+        y, st = lstm_layer_pallas(params, xs[:, k:k + 5], st)
+        outs.append(y)
+    np.testing.assert_allclose(np.asarray(jnp.concatenate(outs, 1)),
+                               np.asarray(full), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(st[0]), np.asarray(h_f),
+                               rtol=1e-5, atol=1e-5)
