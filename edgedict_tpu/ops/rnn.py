@@ -47,8 +47,26 @@ def gru_init(key, input_size, hidden_size):
     }
 
 
+import os
+
+_PALLAS_LSTM = os.environ.get('EDGEDICT_PALLAS_LSTM', '1') != '0'
+
+
+def _pallas_eligible(xs, hidden):
+    """The Pallas recurrence needs tile-aligned (B, H) and pays off for
+    multi-step sequences; streaming B=1 and odd shapes use the scan."""
+    if not _PALLAS_LSTM or jax.default_backend() != 'tpu':
+        return False
+    b, t, _ = xs.shape
+    return b % 8 == 0 and hidden % 128 == 0 and t > 1
+
+
 def lstm_layer(params, xs, state):
     """Single-layer LSTM over time.
+
+    On TPU with tile-aligned shapes this dispatches to the Pallas
+    recurrence kernel (ops/rnn_pallas.py — measured 1.8× the scan on
+    fwd+bwd at encoder scale); otherwise the lax.scan path below.
 
     Args:
       params: dict from lstm_init.
@@ -58,6 +76,9 @@ def lstm_layer(params, xs, state):
       ys: (B, T, H); new (h, c).
     """
     h0, c0 = state
+    if _pallas_eligible(xs, h0.shape[-1]):
+        from edgedict_tpu.ops.rnn_pallas import lstm_layer_pallas
+        return lstm_layer_pallas(params, xs, state)
     dtype = xs.dtype
     w_ih = params['w_ih'].astype(dtype)
     w_hh = params['w_hh'].astype(jnp.float32)

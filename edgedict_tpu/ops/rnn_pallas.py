@@ -48,7 +48,7 @@ def _fwd_kernel(xp_ref, whh_ref, h0_ref, c0_ref,
 
     h = h_s[:, :]
     c = c_s[:, :]
-    gates = xp_ref[:, 0, :] + jnp.dot(
+    gates = xp_ref[0] + jnp.dot(
         h.astype(whh_ref.dtype), whh_ref[:, :],
         preferred_element_type=jnp.float32)
     hdim = h.shape[-1]
@@ -58,8 +58,8 @@ def _fwd_kernel(xp_ref, whh_ref, h0_ref, c0_ref,
     o = jax.nn.sigmoid(gates[:, 3 * hdim:])
     c = f * c + i * g
     h = o * jnp.tanh(c)
-    ys_ref[:, 0, :] = h
-    cs_ref[:, 0, :] = c
+    ys_ref[0] = h
+    cs_ref[0] = c
     h_s[:, :] = h
     c_s[:, :] = c
     hT_ref[:, :] = h
@@ -67,14 +67,17 @@ def _fwd_kernel(xp_ref, whh_ref, h0_ref, c0_ref,
 
 
 def _run_fwd(x_proj, w_hh_t, h0, c0):
-    B, T, H4 = x_proj.shape
+    # time-major internally: Mosaic needs the last two block dims
+    # tile-aligned, so T is the leading (grid) axis
+    x_proj = jnp.swapaxes(x_proj, 0, 1)        # (T, B, 4H)
+    T, B, H4 = x_proj.shape
     H = H4 // 4
     kernel = functools.partial(_fwd_kernel, t_len=T)
-    return pl.pallas_call(
+    ys, cs, hT, cT = pl.pallas_call(
         kernel,
         grid=(T,),
         in_specs=[
-            pl.BlockSpec((B, 1, H4), lambda t: (0, t, 0),
+            pl.BlockSpec((1, B, H4), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((H, H4), lambda t: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -84,9 +87,9 @@ def _run_fwd(x_proj, w_hh_t, h0, c0):
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((B, 1, H), lambda t: (0, t, 0),
+            pl.BlockSpec((1, B, H), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, 1, H), lambda t: (0, t, 0),
+            pl.BlockSpec((1, B, H), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((B, H), lambda t: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -94,8 +97,8 @@ def _run_fwd(x_proj, w_hh_t, h0, c0):
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((B, T, H), jnp.float32),
-            jax.ShapeDtypeStruct((B, T, H), jnp.float32),
+            jax.ShapeDtypeStruct((T, B, H), jnp.float32),
+            jax.ShapeDtypeStruct((T, B, H), jnp.float32),
             jax.ShapeDtypeStruct((B, H), jnp.float32),
             jax.ShapeDtypeStruct((B, H), jnp.float32),
         ],
@@ -103,6 +106,7 @@ def _run_fwd(x_proj, w_hh_t, h0, c0):
                         pltpu.VMEM((B, H), jnp.float32)],
         interpret=_interpret(),
     )(x_proj, w_hh_t, h0, c0)
+    return (jnp.swapaxes(ys, 0, 1), jnp.swapaxes(cs, 0, 1), hT, cT)
 
 
 # ---------------------------------------------------------------------------
@@ -120,15 +124,15 @@ def _bwd_kernel(acts_ref, cprev_ref, c_ref, dys_ref, whh_t_ref,
         dc_s[:, :] = dcT_ref[:, :]
 
     hdim = dh_s.shape[-1]
-    acts = acts_ref[:, 0, :]
+    acts = acts_ref[0]
     i = acts[:, :hdim]
     f = acts[:, hdim:2 * hdim]
     g = acts[:, 2 * hdim:3 * hdim]
     o = acts[:, 3 * hdim:]
-    c_prev = cprev_ref[:, 0, :]
-    tanh_c = jnp.tanh(c_ref[:, 0, :])
+    c_prev = cprev_ref[0]
+    tanh_c = jnp.tanh(c_ref[0])
 
-    dh = dys_ref[:, 0, :] + dh_s[:, :]
+    dh = dys_ref[0] + dh_s[:, :]
     do = dh * tanh_c
     dc = dh * o * (1.0 - tanh_c * tanh_c) + dc_s[:, :]
     dgates = jnp.concatenate(
@@ -136,7 +140,7 @@ def _bwd_kernel(acts_ref, cprev_ref, c_ref, dys_ref, whh_t_ref,
          dc * c_prev * f * (1.0 - f),
          dc * i * (1.0 - g * g),
          do * o * (1.0 - o)], axis=1)                      # (B, 4H)
-    dg_ref[:, 0, :] = dgates
+    dg_ref[0] = dgates
     dh_prev = jnp.dot(dgates.astype(whh_t_ref.dtype), whh_t_ref[:, :],
                       preferred_element_type=jnp.float32)
     dc_prev = dc * f
@@ -147,30 +151,34 @@ def _bwd_kernel(acts_ref, cprev_ref, c_ref, dys_ref, whh_t_ref,
 
 
 def _run_bwd(acts, cs_prev, cs, dys, w_hh_t, dhT, dcT):
-    B, T, H4 = acts.shape
+    acts = jnp.swapaxes(acts, 0, 1)            # (T, B, 4H)
+    cs_prev = jnp.swapaxes(cs_prev, 0, 1)
+    cs = jnp.swapaxes(cs, 0, 1)
+    dys = jnp.swapaxes(dys, 0, 1)
+    T, B, H4 = acts.shape
     H = H4 // 4
     kernel = functools.partial(_bwd_kernel, t_len=T)
-    rev3 = lambda s: (0, T - 1 - s, 0)
+    rev3 = lambda s: (T - 1 - s, 0, 0)
     fixed = lambda s: (0, 0)
-    return pl.pallas_call(
+    dgates, dh0, dc0 = pl.pallas_call(
         kernel,
         grid=(T,),
         in_specs=[
-            pl.BlockSpec((B, 1, H4), rev3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, 1, H), rev3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, 1, H), rev3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, 1, H), rev3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, H4), rev3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, H), rev3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, H), rev3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, H), rev3, memory_space=pltpu.VMEM),
             pl.BlockSpec((H4, H), fixed, memory_space=pltpu.VMEM),
             pl.BlockSpec((B, H), fixed, memory_space=pltpu.VMEM),
             pl.BlockSpec((B, H), fixed, memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((B, 1, H4), rev3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, H4), rev3, memory_space=pltpu.VMEM),
             pl.BlockSpec((B, H), fixed, memory_space=pltpu.VMEM),
             pl.BlockSpec((B, H), fixed, memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((B, T, H4), jnp.float32),
+            jax.ShapeDtypeStruct((T, B, H4), jnp.float32),
             jax.ShapeDtypeStruct((B, H), jnp.float32),
             jax.ShapeDtypeStruct((B, H), jnp.float32),
         ],
@@ -178,6 +186,7 @@ def _run_bwd(acts, cs_prev, cs, dys, w_hh_t, dhT, dcT):
                         pltpu.VMEM((B, H), jnp.float32)],
         interpret=_interpret(),
     )(acts, cs_prev, cs, dys, w_hh_t, dhT, dcT)
+    return jnp.swapaxes(dgates, 0, 1), dh0, dc0
 
 
 # ---------------------------------------------------------------------------
@@ -225,14 +234,23 @@ def _vjp_bwd(res, grads):
     dwhh_t = jax.lax.dot_general(
         ys_prev.reshape(B * T, H), dgates.reshape(B * T, H4),
         (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-    return dgates, dwhh_t, dh0, dc0
+    # cotangent dtypes must match the primals (w_hh_t may be bf16)
+    return dgates, dwhh_t.astype(w_hh_t.dtype), dh0, dc0
 
 
 lstm_recurrence_pallas.defvjp(_vjp_fwd, _vjp_bwd)
 
 
-def lstm_layer_pallas(params, xs, state):
-    """Drop-in for rnn_ops.lstm_layer backed by the Pallas recurrence."""
+def lstm_layer_pallas(params, xs, state, recurrent_dtype=None):
+    """Drop-in for rnn_ops.lstm_layer backed by the Pallas recurrence.
+
+    recurrent_dtype: dtype of the VMEM-resident W_hh.  Defaults to bf16 on
+    TPU — a (H,4H) fp32 weight alone fills the 16 MB VMEM — and fp32
+    elsewhere (bit-parity with the scan layer for tests).  Gate math always
+    accumulates fp32."""
+    if recurrent_dtype is None:
+        recurrent_dtype = (jnp.bfloat16 if jax.default_backend() == 'tpu'
+                           else jnp.float32)
     h0, c0 = state
     dtype = xs.dtype
     w_ih = params['w_ih'].astype(dtype)
@@ -240,7 +258,7 @@ def lstm_layer_pallas(params, xs, state):
     x_proj = jax.lax.dot_general(
         xs, w_ih, (((2,), (1,)), ((), ())),
         preferred_element_type=jnp.float32) + bias
-    w_hh_t = jnp.swapaxes(params['w_hh'], 0, 1).astype(jnp.float32)
+    w_hh_t = jnp.swapaxes(params['w_hh'], 0, 1).astype(recurrent_dtype)
     ys, hT, cT = lstm_recurrence_pallas(
         x_proj, w_hh_t, h0.astype(jnp.float32), c0.astype(jnp.float32))
     return ys.astype(dtype), (hT.astype(h0.dtype), cT.astype(c0.dtype))
