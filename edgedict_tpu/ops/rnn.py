@@ -54,8 +54,13 @@ _PALLAS_LSTM = os.environ.get('EDGEDICT_PALLAS_LSTM', '1') != '0'
 
 def _pallas_eligible(xs, hidden):
     """The Pallas recurrence needs tile-aligned (B, H) and pays off for
-    multi-step sequences; streaming B=1 and odd shapes use the scan."""
+    multi-step sequences; streaming B=1 and odd shapes use the scan.
+    Multi-device sessions also fall back: a pallas_call under GSPMD batch
+    sharding is not auto-partitionable (shard_map wiring is a known
+    follow-up — PARITY.md), and the scan path shards transparently."""
     if not _PALLAS_LSTM or jax.default_backend() != 'tpu':
+        return False
+    if jax.device_count() > 1:
         return False
     b, t, _ = xs.shape
     return b % 8 == 0 and hidden % 128 == 0 and t > 1
