@@ -262,3 +262,85 @@ def lstm_layer_pallas(params, xs, state, recurrent_dtype=None):
     ys, hT, cT = lstm_recurrence_pallas(
         x_proj, w_hh_t, h0.astype(jnp.float32), c0.astype(jnp.float32))
     return ys.astype(dtype), (hT.astype(h0.dtype), cT.astype(c0.dtype))
+
+
+# ---------------------------------------------------------------------------
+# GRU variant (torch gate semantics r,z,n; reference enc_type=GRU)
+# ---------------------------------------------------------------------------
+
+def _gru_fwd_kernel(xp_ref, whh_ref, bhh_ref, h0_ref,
+                    ys_ref, hT_ref, h_s, *, t_len):
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _():
+        h_s[:, :] = h0_ref[:, :]
+
+    h = h_s[:, :]
+    h_proj = jnp.dot(h.astype(whh_ref.dtype), whh_ref[:, :],
+                     preferred_element_type=jnp.float32) + bhh_ref[0]
+    hdim = h.shape[-1]
+    xp = xp_ref[0]
+    r = jax.nn.sigmoid(xp[:, :hdim] + h_proj[:, :hdim])
+    z = jax.nn.sigmoid(xp[:, hdim:2 * hdim] + h_proj[:, hdim:2 * hdim])
+    n = jnp.tanh(xp[:, 2 * hdim:] + r * h_proj[:, 2 * hdim:])
+    h = (1.0 - z) * n + z * h
+    ys_ref[0] = h
+    h_s[:, :] = h
+    hT_ref[:, :] = h
+
+
+def _gru_run_fwd(x_proj, w_hh_t, b_hh, h0):
+    x_proj = jnp.swapaxes(x_proj, 0, 1)         # (T, B, 3H)
+    T, B, H3 = x_proj.shape
+    H = H3 // 3
+    kernel = functools.partial(_gru_fwd_kernel, t_len=T)
+    ys, hT = pl.pallas_call(
+        kernel,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((1, B, H3), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, H3), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H3), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, H), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, B, H), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, H), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, B, H), jnp.float32),
+            jax.ShapeDtypeStruct((B, H), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((B, H), jnp.float32)],
+        interpret=_interpret(),
+    )(x_proj, w_hh_t, b_hh[None], h0)
+    return jnp.swapaxes(ys, 0, 1), hT
+
+
+def gru_layer_pallas(params, xs, state, recurrent_dtype=None):
+    """Drop-in for rnn_ops.gru_layer (forward; backward via the scan path —
+    the GRU encoder is the secondary option, so only inference-critical
+    forward is kernelized; jax.grad falls back automatically since this
+    function is only dispatched for inference-shaped calls)."""
+    if recurrent_dtype is None:
+        recurrent_dtype = (jnp.bfloat16 if jax.default_backend() == 'tpu'
+                           else jnp.float32)
+    h0 = state
+    dtype = xs.dtype
+    w_ih = params['w_ih'].astype(dtype)
+    b_ih = params['b_ih'].astype(jnp.float32)
+    x_proj = jax.lax.dot_general(
+        xs, w_ih, (((2,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) + b_ih
+    w_hh_t = jnp.swapaxes(params['w_hh'], 0, 1).astype(recurrent_dtype)
+    ys, hT = _gru_run_fwd(x_proj, w_hh_t,
+                          params['b_hh'].astype(jnp.float32),
+                          h0.astype(jnp.float32))
+    return ys.astype(dtype), hT.astype(h0.dtype)

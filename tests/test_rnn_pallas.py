@@ -63,3 +63,16 @@ def test_state_carry_chunks():
                                np.asarray(full), rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(st[0]), np.asarray(h_f),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_gru_forward_parity():
+    from edgedict_tpu.ops.rnn_pallas import gru_layer_pallas
+    params = rnn_ops.gru_init(jax.random.PRNGKey(2), 16, 8)
+    xs = jax.random.normal(jax.random.PRNGKey(3), (4, 10, 16))
+    h0 = jax.random.normal(jax.random.PRNGKey(4), (4, 8)) * 0.1
+    ys_s, h_s = rnn_ops.gru_layer(params, xs, h0)
+    ys_p, h_p = gru_layer_pallas(params, xs, h0)
+    np.testing.assert_allclose(np.asarray(ys_p), np.asarray(ys_s),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(h_p), np.asarray(h_s),
+                               rtol=1e-5, atol=1e-5)
