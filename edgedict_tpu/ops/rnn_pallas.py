@@ -325,10 +325,9 @@ def _gru_run_fwd(x_proj, w_hh_t, b_hh, h0):
 
 
 def gru_layer_pallas(params, xs, state, recurrent_dtype=None):
-    """Drop-in for rnn_ops.gru_layer (forward; backward via the scan path —
-    the GRU encoder is the secondary option, so only inference-critical
-    forward is kernelized; jax.grad falls back automatically since this
-    function is only dispatched for inference-shaped calls)."""
+    """Drop-in for rnn_ops.gru_layer — FORWARD ONLY (no custom VJP yet, so
+    it is an explicit opt-in inference API rather than an automatic
+    dispatch like the LSTM path; training uses the scan layer)."""
     if recurrent_dtype is None:
         recurrent_dtype = (jnp.bfloat16 if jax.default_backend() == 'tpu'
                            else jnp.float32)
