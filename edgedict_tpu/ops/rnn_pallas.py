@@ -343,3 +343,28 @@ def gru_layer_pallas(params, xs, state, recurrent_dtype=None):
                           params['b_hh'].astype(jnp.float32),
                           h0.astype(jnp.float32))
     return ys.astype(dtype), hT.astype(h0.dtype)
+
+
+# ---------------------------------------------------------------------------
+# multi-device wiring (proof + utility for mesh integration)
+# ---------------------------------------------------------------------------
+
+def lstm_recurrence_pallas_sharded(mesh, x_proj, w_hh_t, h0, c0,
+                                   batch_axis='dp'):
+    """Batch-sharded wrapper: runs the Pallas recurrence per-shard under
+    shard_map (weights replicated, batch split over `batch_axis`).  This is
+    how the kernel composes with a dp mesh — the automatic dispatch in
+    ops/rnn.py still falls back to the scan on multi-device sessions until
+    the trainer routes through this wrapper."""
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    fn = shard_map(
+        lambda xp, w, h, c: lstm_recurrence_pallas(xp, w, h, c),
+        mesh=mesh,
+        in_specs=(P(batch_axis, None, None), P(None, None),
+                  P(batch_axis, None), P(batch_axis, None)),
+        out_specs=(P(batch_axis, None, None), P(batch_axis, None),
+                   P(batch_axis, None)),
+        check_rep=False)
+    return fn(x_proj, w_hh_t, h0, c0)

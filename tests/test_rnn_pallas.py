@@ -76,3 +76,32 @@ def test_gru_forward_parity():
                                rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(h_p), np.asarray(h_s),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_shard_mapped_recurrence_matches_scan():
+    """The Pallas recurrence under shard_map on the 8-device mesh (batch
+    sharded over 'dp', weights replicated) == the scan layer — the wiring
+    needed to route the kernel through dp training meshes."""
+    from edgedict_tpu.ops.rnn_pallas import lstm_recurrence_pallas_sharded
+    from edgedict_tpu.parallel import make_mesh
+
+    mesh = make_mesh(dp=4, tp=1)
+    b, t, i, h = 8, 6, 16, 8
+    params = rnn_ops.lstm_init(jax.random.PRNGKey(7), i, h)
+    xs = jax.random.normal(jax.random.PRNGKey(8), (b, t, i))
+    h0 = jnp.zeros((b, h))
+    c0 = jnp.zeros((b, h))
+
+    bias = params['b_ih'] + params['b_hh']
+    x_proj = jnp.einsum('bti,gi->btg', xs, params['w_ih']) + bias
+    w_hh_t = jnp.swapaxes(params['w_hh'], 0, 1)
+    ys, hT, cT = lstm_recurrence_pallas_sharded(
+        mesh, x_proj, w_hh_t, h0, c0)
+
+    ys_ref, (h_ref, c_ref) = rnn_ops.lstm_layer(params, xs, (h0, c0))
+    np.testing.assert_allclose(np.asarray(ys), np.asarray(ys_ref),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(hT), np.asarray(h_ref),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(cT), np.asarray(c_ref),
+                               rtol=1e-5, atol=1e-5)
