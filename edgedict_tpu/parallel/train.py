@@ -42,7 +42,14 @@ def make_mesh(dp=-1, tp=1, devices=None):
         tp = 1
     if dp == -1:
         dp = n // tp
-    assert dp * tp <= n, (dp, tp, n)
+    if dp < 1 or dp * tp > n:
+        raise ValueError(
+            f'make_mesh(dp={dp}, tp={tp}) needs dp*tp={dp * tp} devices but '
+            f'jax sees only {n} ({[str(d) for d in devices[:4]]}...). For a '
+            f'virtual CPU mesh set JAX_PLATFORMS=cpu and XLA_FLAGS='
+            f'--xla_force_host_platform_device_count=N BEFORE jax '
+            f'initializes (or jax.config.update("jax_platforms","cpu") '
+            f'before first device access — see tests/conftest.py).')
     dev_array = np.asarray(devices[:dp * tp]).reshape(dp, tp)
     return Mesh(dev_array, ('dp', 'tp'))
 
