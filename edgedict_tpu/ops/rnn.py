@@ -47,22 +47,58 @@ def gru_init(key, input_size, hidden_size):
     }
 
 
+import contextlib
 import os
 
-_PALLAS_LSTM = os.environ.get('EDGEDICT_PALLAS_LSTM', '1') != '0'
+# Mesh context: the sharded trainer (parallel/train.py) activates this while
+# tracing its jitted step so the recurrence can route through shard_map over
+# the batch axis — pallas_call is not auto-partitionable under GSPMD, but a
+# per-shard kernel under shard_map composes with any dp mesh.
+_MESH_CTX = []
+
+
+@contextlib.contextmanager
+def mesh_context(mesh, batch_axis='dp'):
+    """Make `mesh` visible to RNN layers traced inside this scope."""
+    _MESH_CTX.append((mesh, batch_axis))
+    try:
+        yield
+    finally:
+        _MESH_CTX.pop()
+
+
+def current_mesh():
+    """(mesh, batch_axis) from the innermost mesh_context, or None."""
+    return _MESH_CTX[-1] if _MESH_CTX else None
+
+
+def _pallas_mode():
+    # '0' = off, 'force' = on even off-TPU (interpret mode, for CPU-mesh
+    # integration tests), anything else = auto (TPU only)
+    return os.environ.get('EDGEDICT_PALLAS_LSTM', '1')
 
 
 def _pallas_eligible(xs, hidden):
-    """The Pallas recurrence needs tile-aligned (B, H) and pays off for
-    multi-step sequences; streaming B=1 and odd shapes use the scan.
-    Multi-device sessions also fall back: a pallas_call under GSPMD batch
-    sharding is not auto-partitionable (shard_map wiring is a known
-    follow-up — PARITY.md), and the scan path shards transparently."""
-    if not _PALLAS_LSTM or jax.default_backend() != 'tpu':
+    """The Pallas recurrence needs tile-aligned per-shard (B, H) and pays
+    off for multi-step sequences; streaming B=1 and odd shapes use the
+    scan.  Under an active mesh_context the batch eligibility is checked
+    PER SHARD and the kernel runs under shard_map; a multi-device session
+    without a mesh context falls back (the scan shards transparently)."""
+    mode = _pallas_mode()
+    if mode == '0':
         return False
-    if jax.device_count() > 1:
+    if mode != 'force' and jax.default_backend() != 'tpu':
         return False
     b, t, _ = xs.shape
+    ctx = current_mesh()
+    if ctx is not None:
+        mesh, axis = ctx
+        shards = dict(mesh.shape).get(axis, 1)
+        if b % shards:
+            return False
+        b //= shards
+    elif jax.device_count() > 1:
+        return False
     return b % 8 == 0 and hidden % 128 == 0 and t > 1
 
 
@@ -83,6 +119,10 @@ def lstm_layer(params, xs, state):
     h0, c0 = state
     if _pallas_eligible(xs, h0.shape[-1]):
         from edgedict_tpu.ops.rnn_pallas import lstm_layer_pallas
+        ctx = current_mesh()
+        if ctx is not None and dict(ctx[0].shape).get(ctx[1], 1) > 1:
+            return lstm_layer_pallas(params, xs, state,
+                                     mesh=ctx[0], batch_axis=ctx[1])
         return lstm_layer_pallas(params, xs, state)
     dtype = xs.dtype
     w_ih = params['w_ih'].astype(dtype)

@@ -241,13 +241,20 @@ def _vjp_bwd(res, grads):
 lstm_recurrence_pallas.defvjp(_vjp_fwd, _vjp_bwd)
 
 
-def lstm_layer_pallas(params, xs, state, recurrent_dtype=None):
+def lstm_layer_pallas(params, xs, state, recurrent_dtype=None, mesh=None,
+                      batch_axis='dp'):
     """Drop-in for rnn_ops.lstm_layer backed by the Pallas recurrence.
 
     recurrent_dtype: dtype of the VMEM-resident W_hh.  Defaults to bf16 on
     TPU — a (H,4H) fp32 weight alone fills the 16 MB VMEM — and fp32
     elsewhere (bit-parity with the scan layer for tests).  Gate math always
-    accumulates fp32."""
+    accumulates fp32.
+
+    mesh: when given (and the batch axis has >1 shard), the sequential
+    recurrence runs per-shard under shard_map with the batch split over
+    `batch_axis` and weights replicated — the wiring that lets the kernel
+    live inside a dp-sharded jitted train step (the input projection stays
+    outside in GSPMD-land where XLA partitions it natively)."""
     if recurrent_dtype is None:
         recurrent_dtype = (jnp.bfloat16 if jax.default_backend() == 'tpu'
                            else jnp.float32)
@@ -259,8 +266,13 @@ def lstm_layer_pallas(params, xs, state, recurrent_dtype=None):
         xs, w_ih, (((2,), (1,)), ((), ())),
         preferred_element_type=jnp.float32) + bias
     w_hh_t = jnp.swapaxes(params['w_hh'], 0, 1).astype(recurrent_dtype)
-    ys, hT, cT = lstm_recurrence_pallas(
-        x_proj, w_hh_t, h0.astype(jnp.float32), c0.astype(jnp.float32))
+    if mesh is not None and dict(mesh.shape).get(batch_axis, 1) > 1:
+        ys, hT, cT = lstm_recurrence_pallas_sharded(
+            mesh, x_proj, w_hh_t, h0.astype(jnp.float32),
+            c0.astype(jnp.float32), batch_axis=batch_axis)
+    else:
+        ys, hT, cT = lstm_recurrence_pallas(
+            x_proj, w_hh_t, h0.astype(jnp.float32), c0.astype(jnp.float32))
     return ys.astype(dtype), (hT.astype(h0.dtype), cT.astype(c0.dtype))
 
 
@@ -352,19 +364,30 @@ def gru_layer_pallas(params, xs, state, recurrent_dtype=None):
 def lstm_recurrence_pallas_sharded(mesh, x_proj, w_hh_t, h0, c0,
                                    batch_axis='dp'):
     """Batch-sharded wrapper: runs the Pallas recurrence per-shard under
-    shard_map (weights replicated, batch split over `batch_axis`).  This is
-    how the kernel composes with a dp mesh — the automatic dispatch in
-    ops/rnn.py still falls back to the scan on multi-device sessions until
-    the trainer routes through this wrapper."""
-    from jax.experimental.shard_map import shard_map
+    shard_map (weights replicated, batch split over `batch_axis`).  The
+    trainer activates rnn_ops.mesh_context so lstm_layer routes here on dp
+    meshes (reference cuDNN-LSTM-under-DataParallel role, rnnt/models.py:64
+    + cli/baseline.py:158-159)."""
     from jax.sharding import PartitionSpec as P
 
-    fn = shard_map(
+    fn = _shard_map(
         lambda xp, w, h, c: lstm_recurrence_pallas(xp, w, h, c),
         mesh=mesh,
         in_specs=(P(batch_axis, None, None), P(None, None),
                   P(batch_axis, None), P(batch_axis, None)),
         out_specs=(P(batch_axis, None, None), P(batch_axis, None),
-                   P(batch_axis, None)),
-        check_rep=False)
+                   P(batch_axis, None)))
     return fn(x_proj, w_hh_t, h0, c0)
+
+
+def _shard_map(f, *, mesh, in_specs, out_specs):
+    """shard_map with replication checking off, across jax versions
+    (check_rep was renamed check_vma in jax 0.8's jax.shard_map)."""
+    try:
+        from jax import shard_map
+        return shard_map(f, mesh=mesh, in_specs=in_specs,
+                         out_specs=out_specs, check_vma=False)
+    except (ImportError, TypeError):
+        from jax.experimental.shard_map import shard_map
+        return shard_map(f, mesh=mesh, in_specs=in_specs,
+                         out_specs=out_specs, check_rep=False)

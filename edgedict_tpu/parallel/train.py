@@ -26,6 +26,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from edgedict_tpu.models import transducer as T
+from edgedict_tpu.ops import rnn as rnn_ops
 
 
 class TrainState(NamedTuple):
@@ -218,6 +219,11 @@ def make_train_step(cfg, optimizer, mesh=None, bf16=True,
             donate_argnums=donate)
 
     def fn(state, batch, rng, lr, aux=None):
+        if mesh is not None:
+            # visible during tracing: lets the LSTM route its Pallas
+            # recurrence through shard_map over the 'dp' axis
+            with rnn_ops.mesh_context(mesh):
+                return jitted(state, batch, rng, lr, aux)
         return jitted(state, batch, rng, lr, aux)
 
     return fn
@@ -250,8 +256,14 @@ def make_eval_step(cfg, mesh=None, feature_pipeline=None, feature_fn=None,
                           if (feature_pipeline is not None
                               or feature_fn is not None) else
                           ('xs', 'xlen', 'ys', 'ylen'))
-    return jax.jit(eval_step,
-                   in_shardings=(None, {k: b_shard for k in keys}))
+    jitted = jax.jit(eval_step,
+                     in_shardings=(None, {k: b_shard for k in keys}))
+
+    def fn(params, batch):
+        with rnn_ops.mesh_context(mesh):
+            return jitted(params, batch)
+
+    return fn
 
 
 # small shims so this module has no hard optax dependency at import time of
