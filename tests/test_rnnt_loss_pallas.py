@@ -59,3 +59,37 @@ def test_pallas_batch_padding():
     got = np.asarray(rnnt_loss_pallas(logits, labels, xlen, ylen))
     assert got.shape == (5,)
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_transducer_loss_default_core_switch(monkeypatch):
+    """transducer_loss with EDGEDICT_PALLAS_RNNT=force (the TPU production
+    core, interpret mode here) == the scan core: loss and parameter grads.
+    Guards the default_core() switch that makes the Pallas kernel the
+    production path on TPU."""
+    from edgedict_tpu.models import transducer as T
+
+    cfg = T.TransducerConfig(
+        vocab_size=16, vocab_embed_size=8, input_size=8,
+        enc_hidden_size=16, enc_layers=1, enc_proj_size=8,
+        dec_hidden_size=8, dec_layers=1, dec_proj_size=8,
+        joint_size=8, enc_time_reductions=())
+    params = T.transducer_init(jax.random.PRNGKey(0), cfg)
+    rng = np.random.RandomState(4)
+    xs = jnp.asarray(rng.randn(2, 6, cfg.input_size), jnp.float32)
+    ys = jnp.asarray(rng.randint(4, cfg.vocab_size, (2, 4)), jnp.int32)
+    xlen = jnp.asarray([6, 4], jnp.int32)
+    ylen = jnp.asarray([4, 2], jnp.int32)
+
+    def loss_and_grad():
+        f = lambda p: T.transducer_loss(p, cfg, xs, ys, xlen, ylen)
+        return jax.value_and_grad(f)(params)
+
+    monkeypatch.setenv('EDGEDICT_PALLAS_RNNT', '0')
+    l_s, g_s = loss_and_grad()
+    monkeypatch.setenv('EDGEDICT_PALLAS_RNNT', 'force')
+    l_p, g_p = loss_and_grad()
+
+    np.testing.assert_allclose(float(l_p), float(l_s), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(g_s), jax.tree.leaves(g_p)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-4, atol=1e-6)
