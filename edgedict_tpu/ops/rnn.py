@@ -72,19 +72,19 @@ def current_mesh():
     return _MESH_CTX[-1] if _MESH_CTX else None
 
 
-def _pallas_mode():
+def _pallas_mode(env='EDGEDICT_PALLAS_LSTM'):
     # '0' = off, 'force' = on even off-TPU (interpret mode, for CPU-mesh
     # integration tests), anything else = auto (TPU only)
-    return os.environ.get('EDGEDICT_PALLAS_LSTM', '1')
+    return os.environ.get(env, '1')
 
 
-def _pallas_eligible(xs, hidden):
+def _pallas_eligible(xs, hidden, env='EDGEDICT_PALLAS_LSTM'):
     """The Pallas recurrence needs tile-aligned per-shard (B, H) and pays
     off for multi-step sequences; streaming B=1 and odd shapes use the
     scan.  Under an active mesh_context the batch eligibility is checked
     PER SHARD and the kernel runs under shard_map; a multi-device session
     without a mesh context falls back (the scan shards transparently)."""
-    mode = _pallas_mode()
+    mode = _pallas_mode(env)
     if mode == '0':
         return False
     if mode != 'force' and jax.default_backend() != 'tpu':
@@ -165,8 +165,19 @@ def gru_layer(params, xs, state):
     h' = (1 − z) ⊙ n + z ⊙ h
 
     Args/returns as lstm_layer but state is h only: (B, H).
+
+    On TPU with tile-aligned shapes this dispatches to the Pallas GRU
+    recurrence (forward AND backward via custom VJP); mesh-context routing
+    as in lstm_layer.  EDGEDICT_PALLAS_GRU=0|force overrides.
     """
     h0 = state
+    if _pallas_eligible(xs, h0.shape[-1], env='EDGEDICT_PALLAS_GRU'):
+        from edgedict_tpu.ops.rnn_pallas import gru_layer_pallas
+        ctx = current_mesh()
+        if ctx is not None and dict(ctx[0].shape).get(ctx[1], 1) > 1:
+            return gru_layer_pallas(params, xs, state,
+                                    mesh=ctx[0], batch_axis=ctx[1])
+        return gru_layer_pallas(params, xs, state)
     dtype = xs.dtype
     w_ih = params['w_ih'].astype(dtype)
     w_hh = params['w_hh'].astype(jnp.float32)

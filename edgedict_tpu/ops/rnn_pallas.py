@@ -336,10 +336,149 @@ def _gru_run_fwd(x_proj, w_hh_t, b_hh, h0):
     return jnp.swapaxes(ys, 0, 1), hT
 
 
-def gru_layer_pallas(params, xs, state, recurrent_dtype=None):
-    """Drop-in for rnn_ops.gru_layer — FORWARD ONLY (no custom VJP yet, so
-    it is an explicit opt-in inference API rather than an automatic
-    dispatch like the LSTM path; training uses the scan layer)."""
+def _gru_bwd_kernel(acts_ref, hn_ref, hprev_ref, dys_ref, whh_ref,
+                    dhT_ref, dgx_ref, dgh_ref, dh0_ref, dh_s, *, t_len):
+    """Sequential dh chain of the GRU backward (torch gate semantics).
+
+    Per step (processed in reverse time order): elementwise gate grads +
+    ONE (B,3H)@(3H,H) MXU matmul.  Emits dgx (→ dx_proj) and dgh
+    (→ dW_hh/db_hh, reduced outside as one big matmul)."""
+    s = pl.program_id(0)               # processes t = T−1−s
+
+    @pl.when(s == 0)
+    def _():
+        dh_s[:, :] = dhT_ref[:, :]
+
+    hdim = dh_s.shape[-1]
+    acts = acts_ref[0]
+    r = acts[:, :hdim]
+    z = acts[:, hdim:2 * hdim]
+    n = acts[:, 2 * hdim:]
+    hn = hn_ref[0]
+    h_prev = hprev_ref[0]
+
+    dh = dys_ref[0] + dh_s[:, :]
+    dn = dh * (1.0 - z)
+    dz = dh * (h_prev - n)
+    da_n = dn * (1.0 - n * n)
+    dhn = da_n * r
+    dr = da_n * hn
+    da_r = dr * r * (1.0 - r)
+    da_z = dz * z * (1.0 - z)
+    dgx = jnp.concatenate([da_r, da_z, da_n], axis=1)    # (B, 3H)
+    dgh = jnp.concatenate([da_r, da_z, dhn], axis=1)
+    dgx_ref[0] = dgx
+    dgh_ref[0] = dgh
+    dh_prev = dh * z + jnp.dot(dgh.astype(whh_ref.dtype), whh_ref[:, :],
+                               preferred_element_type=jnp.float32)
+    dh_s[:, :] = dh_prev
+    dh0_ref[:, :] = dh_prev
+
+
+def _gru_run_bwd(acts, hn, ys_prev, dys, w_hh, dhT):
+    acts = jnp.swapaxes(acts, 0, 1)          # (T, B, 3H)
+    hn = jnp.swapaxes(hn, 0, 1)
+    ys_prev = jnp.swapaxes(ys_prev, 0, 1)
+    dys = jnp.swapaxes(dys, 0, 1)
+    T, B, H3 = acts.shape
+    H = H3 // 3
+    kernel = functools.partial(_gru_bwd_kernel, t_len=T)
+    rev3 = lambda s: (T - 1 - s, 0, 0)
+    fixed = lambda s: (0, 0)
+    dgx, dgh, dh0 = pl.pallas_call(
+        kernel,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((1, B, H3), rev3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, H), rev3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, H), rev3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, H), rev3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((H3, H), fixed, memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, H), fixed, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, B, H3), rev3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, H3), rev3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, H), fixed, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, B, H3), jnp.float32),
+            jax.ShapeDtypeStruct((T, B, H3), jnp.float32),
+            jax.ShapeDtypeStruct((B, H), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((B, H), jnp.float32)],
+        interpret=_interpret(),
+    )(acts, hn, ys_prev, dys, w_hh, dhT)
+    return jnp.swapaxes(dgx, 0, 1), jnp.swapaxes(dgh, 0, 1), dh0
+
+
+@jax.custom_vjp
+def gru_recurrence_pallas(x_proj, w_hh_t, b_hh, h0):
+    """(x_proj (B,T,3H) fp32 incl. b_ih, w_hh_t (H,3H), b_hh (3H,),
+    h0 (B,H) fp32) → (ys (B,T,H), hT (B,H)) — the GRU recurrence as one
+    Pallas kernel (torch gate order r,z,n; b_hh applied inside the reset
+    gate, matching nn.GRU)."""
+    ys, hT = _gru_run_fwd(x_proj, w_hh_t, b_hh, h0)
+    return ys, hT
+
+
+def _gru_vjp_fwd(x_proj, w_hh_t, b_hh, h0):
+    ys, hT = _gru_run_fwd(x_proj, w_hh_t, b_hh, h0)
+    return (ys, hT), (x_proj, w_hh_t, b_hh, h0, ys)
+
+
+def _gru_vjp_bwd(res, grads):
+    x_proj, w_hh_t, b_hh, h0, ys = res
+    dys, dhT = grads
+    B, T, H3 = x_proj.shape
+    H = H3 // 3
+
+    ys_prev = jnp.concatenate([h0[:, None], ys[:, :-1]], axis=1)
+    # rematerialize gate activations with one big MXU matmul
+    h_proj = jax.lax.dot_general(
+        ys_prev, w_hh_t, (((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) + b_hh.astype(jnp.float32)
+    r = jax.nn.sigmoid(x_proj[..., :H] + h_proj[..., :H])
+    z = jax.nn.sigmoid(x_proj[..., H:2 * H] + h_proj[..., H:2 * H])
+    hn = h_proj[..., 2 * H:]
+    n = jnp.tanh(x_proj[..., 2 * H:] + r * hn)
+    acts = jnp.concatenate([r, z, n], axis=-1)
+
+    dgx, dgh, dh0 = _gru_run_bwd(
+        acts, hn, ys_prev, dys.astype(jnp.float32),
+        jnp.swapaxes(w_hh_t, 0, 1), dhT.astype(jnp.float32))
+
+    # weight/bias grads reduce OUTSIDE as one big matmul over all steps
+    dwhh_t = jax.lax.dot_general(
+        ys_prev.reshape(B * T, H), dgh.reshape(B * T, H3),
+        (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    dbhh = jnp.sum(dgh, axis=(0, 1))
+    return (dgx, dwhh_t.astype(w_hh_t.dtype), dbhh.astype(b_hh.dtype), dh0)
+
+
+gru_recurrence_pallas.defvjp(_gru_vjp_fwd, _gru_vjp_bwd)
+
+
+def gru_recurrence_pallas_sharded(mesh, x_proj, w_hh_t, b_hh, h0,
+                                  batch_axis='dp'):
+    """Batch-sharded GRU recurrence under shard_map (see the LSTM twin)."""
+    from jax.sharding import PartitionSpec as P
+
+    fn = _shard_map(
+        lambda xp, w, b, h: gru_recurrence_pallas(xp, w, b, h),
+        mesh=mesh,
+        in_specs=(P(batch_axis, None, None), P(None, None), P(None),
+                  P(batch_axis, None)),
+        out_specs=(P(batch_axis, None, None), P(batch_axis, None)))
+    return fn(x_proj, w_hh_t, b_hh, h0)
+
+
+def gru_layer_pallas(params, xs, state, recurrent_dtype=None, mesh=None,
+                     batch_axis='dp'):
+    """Drop-in for rnn_ops.gru_layer backed by the Pallas recurrence —
+    full training support via gru_recurrence_pallas' custom VJP (the
+    reference's first-class enc_type=GRU path, rnnt/models.py:77-116).
+    mesh: as lstm_layer_pallas — per-shard kernel under shard_map."""
     if recurrent_dtype is None:
         recurrent_dtype = (jnp.bfloat16 if jax.default_backend() == 'tpu'
                            else jnp.float32)
@@ -351,9 +490,14 @@ def gru_layer_pallas(params, xs, state, recurrent_dtype=None):
         xs, w_ih, (((2,), (1,)), ((), ())),
         preferred_element_type=jnp.float32) + b_ih
     w_hh_t = jnp.swapaxes(params['w_hh'], 0, 1).astype(recurrent_dtype)
-    ys, hT = _gru_run_fwd(x_proj, w_hh_t,
-                          params['b_hh'].astype(jnp.float32),
-                          h0.astype(jnp.float32))
+    b_hh = params['b_hh'].astype(jnp.float32)
+    if mesh is not None and dict(mesh.shape).get(batch_axis, 1) > 1:
+        ys, hT = gru_recurrence_pallas_sharded(
+            mesh, x_proj, w_hh_t, b_hh, h0.astype(jnp.float32),
+            batch_axis=batch_axis)
+    else:
+        ys, hT = gru_recurrence_pallas(x_proj, w_hh_t, b_hh,
+                                       h0.astype(jnp.float32))
     return ys.astype(dtype), hT.astype(h0.dtype)
 
 
