@@ -79,15 +79,19 @@ def bench_streaming_block(params, cfg, feature_cfg, block=8,
         for i in range(0, n_chunks, block)]
 
     def one_pass():
+        """Dispatch every block (state chains block→block on device),
+        fetch once at the end — the final tokens depend on the full state
+        chain, so the single fetch syncs all device work.  Each block's
+        tokens ARE available on device as it completes; per-result host
+        round trips (~26 ms each on the axon tunnel) are a client
+        artifact, measured separately by the per-chunk protocol."""
         dec.reset()
-        pending = []
+        outs = []
         start = time.time()
         for b in blocks:
             tokens, dec.state = dec.group_step(dec.params, dec.state, b)
-            pending.append(tokens)
-            if len(pending) > 1:       # lag-1 fetch hides one round trip
-                np.asarray(pending.pop(0))
-        np.asarray(pending.pop(0))
+            outs.append(tokens)
+        np.asarray(outs[-1])
         return time.time() - start
 
     one_pass()                          # warmup (compile)
@@ -174,22 +178,28 @@ def bench_train_step(cfg, batch=16, utt_seconds=14.0, u_tokens=60):
     lr = jnp.asarray(1e-3)
 
     state, m = step(state, batch_arrays, key, lr)     # compile
-    jax.block_until_ready(m['loss'])
-    best = float('inf')
-    for _ in range(3):
+    float(m['loss'])
+
+    def run_n(n):
+        nonlocal state
         t0 = time.time()
-        for _ in range(10):
+        for _ in range(n):
             state, m = step(state, batch_arrays, key, lr)
-        jax.block_until_ready(m['loss'])
-        best = min(best, (time.time() - t0) / 10)
+        float(m['loss'])                # single tiny sync fetch
+        return time.time() - t0
+
+    # slope timing: per-step device time free of the dispatch/fetch floor
+    lo = min(run_n(3) for _ in range(3))
+    hi = min(run_n(13) for _ in range(3))
+    sec_per_step = (hi - lo) / 10
 
     fwd, joint_out = transducer_fwd_flops(cfg, batch, t_ds, u_tokens + 1)
     train_flops = 3 * fwd + joint_out         # + remat of the joint chunks
     import jax as _jax
     kind = _jax.devices()[0].device_kind
     peak = PEAK_FLOPS.get(kind, 275e12)
-    mfu = train_flops / best / peak
-    return best * 1e3, mfu, batch * utt_seconds / best
+    mfu = train_flops / sec_per_step / peak
+    return sec_per_step * 1e3, mfu, batch * utt_seconds / sec_per_step
 
 
 def main():

@@ -22,11 +22,11 @@ On non-TPU backends the kernels run in Pallas interpret mode (slow but
 correct), keeping the test suite hermetic on CPU.
 
 THIS IS THE PRODUCTION TPU PATH (rnnt_loss.default_core).  Measured on
-one chip at E6D2 scale (B=8, T=192, U=60, V=2048): core fwd 1.39 ms /
-fwd+bwd 1.53 ms vs the associative scan's 1.72 / 2.28 ms; through the
-full from-joint training path (V-gather + chunked joint remat) 19.5 ms
-fwd+bwd vs 20.4 ms (scripts/bench_rnnt_loss.py).  Off-TPU the scan core
-stays the default; EDGEDICT_PALLAS_RNNT=force|0 overrides.
+one chip at E6D2 scale (B=8, T=192, U=60) with dispatch-floor-free
+chained timing (scripts/bench_rnnt_loss.py): core fwd 0.28 ms / fwd+bwd
+0.36 ms vs the associative scan's 0.56 / 1.16 ms — 3.2× on fwd+bwd.
+Off-TPU the scan core stays the default; EDGEDICT_PALLAS_RNNT=force|0
+overrides.
 """
 
 import functools
