@@ -327,6 +327,18 @@ class FeatureConfig:
         )
 
 
+def _pallas_feat_eligible(cfg):
+    """Fused featurization kernel dispatch: TPU by default (force|0 to
+    override), any feature_type (the kernel computes mel power; log/DCT
+    stay outside)."""
+    import os
+    del cfg
+    mode = os.environ.get('EDGEDICT_PALLAS_FEAT', '1')
+    if mode == '0':
+        return False
+    return mode == 'force' or jax.default_backend() == 'tpu'
+
+
 class FeaturePipeline:
     """Waveform (B, L) + lengths → features (B, T', input_size) + lengths.
 
@@ -385,9 +397,16 @@ class FeaturePipeline:
                     rng_dither, audio.shape)
             if c.preemph is not None:
                 audio = preemphasis(audio, c.preemph)
-        spec = stft_power(audio, self.window, c.n_fft, c.hop_length)
-        feat = jnp.einsum('btf,mf->btm', spec, self.mel,
-                          preferred_element_type=jnp.float32)
+        if _pallas_feat_eligible(c):
+            # fused Pallas featurization kernel: frame+window+DFT+|·|²+mel
+            # in one pass, no frame tensor in HBM (the north-star kernel)
+            from edgedict_tpu.ops.features_pallas import mel_power_pallas
+            feat = mel_power_pallas(audio, self.window, self.mel,
+                                    c.n_fft, c.hop_length)
+        else:
+            spec = stft_power(audio, self.window, c.n_fft, c.hop_length)
+            feat = jnp.einsum('btf,mf->btm', spec, self.mel,
+                              preferred_element_type=jnp.float32)
         feat_len = jnp.ceil(lengths.astype(jnp.float32)
                             / c.hop_length).astype(jnp.int32)
 

@@ -188,3 +188,27 @@ def test_time_warp():
     short = x[:, :15]
     np.testing.assert_allclose(np.asarray(F.time_warp(key, short, 10)),
                                np.asarray(short))
+
+
+def test_pallas_featurization_parity(monkeypatch):
+    """The fused Pallas featurization kernel (interpret mode here; the
+    production TPU front) == the XLA stft path for every feature type,
+    including odd lengths that exercise the frame-tile padding."""
+    import jax.numpy as jnp
+    from edgedict_tpu.features import FeatureConfig, FeaturePipeline
+
+    rng = np.random.RandomState(7)
+    audio = jnp.asarray(rng.randn(3, 9100).astype(np.float32))
+    alen = jnp.asarray([9100, 7000, 2500], jnp.int32)
+    for ft in ('logfbank', 'melspec', 'mfcc'):
+        cfg = FeatureConfig(feature_type=ft, feature_size=40, n_fft=256,
+                            win_length=200, hop_length=100, downsample=3,
+                            pad_to_divisible=True)
+        pipe = FeaturePipeline(cfg)
+        monkeypatch.setenv('EDGEDICT_PALLAS_FEAT', '0')
+        a, la = pipe(audio, alen, train=False)
+        monkeypatch.setenv('EDGEDICT_PALLAS_FEAT', 'force')
+        b, lb = pipe(audio, alen, train=False)
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-3, atol=5e-3, err_msg=ft)
