@@ -50,7 +50,18 @@ def compute_mask_indices(shape, padding_mask, mask_prob, mask_length,
     reference (rnnt/data_utils.py:348-471): expected `mask_prob * T /
     mask_length` spans per row, span length static/uniform/normal/poisson,
     counts equalized across rows (each row ends with the SAME number of
-    masked steps — the property the fixed-shape TPU gather relies on)."""
+    masked steps — the property the fixed-shape TPU gather relies on).
+
+    PROVENANCE: this function is a line-faithful port of fairseq's
+    `compute_mask_indices` (MIT license, facebookresearch/fairseq
+    fairseq/data/data_utils.py — the reference vendors the same code at
+    rnnt/data_utils.py:348-471).  Kept structurally identical ON PURPOSE:
+    wav2vec pretraining quality is sensitive to the exact mask statistics
+    (span-count rounding, the no-overlap recursive packing, the per-row
+    count equalization via random subsampling), and bit-identical sampling
+    under a seeded RNG is what the pretraining parity tests pin against
+    the torch oracle.  This is host-side batch planning, not TPU code —
+    the device consumes only the resulting dense bool mask."""
     rng = rng or np.random
     bsz, all_sz = shape
     mask = np.full((bsz, all_sz), False)

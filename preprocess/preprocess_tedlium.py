@@ -4,11 +4,21 @@ wav/labels.txt in the layout the TEDLIUM dataset adapter expects
 (<root>/wav/<utt>.wav + <root>/wav/labels.txt).
 
   python -m preprocess.preprocess_tedlium --root .../TEDLIUM_release1/train
+
+Release-specific entry points (directory layout + download/extract stages):
+preprocess_tedlium1.py (release 1: <root>/{train,test}/{sph,stm}) and
+preprocess_tedlium3.py (release 3: <root>/data/{sph,stm}).
 """
 
 import argparse
 import os
+import re
 import subprocess
+
+# reference text cleanup (preprocess_tedlium3.py PAUSE_MATCH/NOTATION):
+# drop pause/hesitation markers and inline (notations)
+PAUSE_MATCH = re.compile(r'\([0-9]+\)')
+NOTATION = re.compile(r'\{[A-Z ]+\}')
 
 
 def parse_stm(path):
@@ -20,6 +30,9 @@ def parse_stm(path):
             if len(parts) < 7 or 'ignore_time_segment' in parts[6]:
                 continue
             start, end, text = float(parts[3]), float(parts[4]), parts[6]
+            text = text.replace('<sil>', '')
+            text = PAUSE_MATCH.sub('', text)
+            text = NOTATION.sub('', text)
             text = text.replace(" '", "'").strip()
             if text:
                 utts.append((start, end, text))
@@ -33,14 +46,12 @@ def cut(sph_path, start, end, wav_path):
          '-ar', '16000', '-ac', '1', wav_path]) == 0
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument('--root', required=True,
-                    help='TEDLIUM release split dir containing sph/ + stm/')
-    args = ap.parse_args()
-    sph_dir = os.path.join(args.root, 'sph')
-    stm_dir = os.path.join(args.root, 'stm')
-    out_dir = os.path.join(args.root, 'wav')
+def convert_split(root):
+    """Cut one split dir (containing sph/ + stm/) into wav/ + labels.txt.
+    Returns the number of utterances written."""
+    sph_dir = os.path.join(root, 'sph')
+    stm_dir = os.path.join(root, 'stm')
+    out_dir = os.path.join(root, 'wav')
     os.makedirs(out_dir, exist_ok=True)
 
     labels = []
@@ -59,6 +70,30 @@ def main():
     with open(os.path.join(out_dir, 'labels.txt'), 'w') as f:
         f.write('\n'.join(labels) + '\n')
     print(f'wrote {len(labels)} utterances to {out_dir}')
+    return len(labels)
+
+
+def download_and_extract(save_path, url, name, download, extract):
+    """Reference download/extract stages (preprocess_tedlium3.py:40-70) —
+    wget-equivalent fetch + tar extraction, both opt-in flags."""
+    archive = os.path.join(save_path, name)
+    if download:
+        import urllib.request
+        print(f'downloading {url}')
+        urllib.request.urlretrieve(url, archive)
+    if extract:
+        import tarfile
+        print(f'extracting {archive}')
+        with tarfile.open(archive) as tf:
+            tf.extractall(save_path)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--root', required=True,
+                    help='TEDLIUM release split dir containing sph/ + stm/')
+    args = ap.parse_args()
+    convert_split(args.root)
 
 
 if __name__ == '__main__':
