@@ -8,6 +8,10 @@ Must run before jax is imported anywhere.
 import os
 
 os.environ['JAX_PLATFORMS'] = 'cpu'
+# persistent XLA compile cache: repeat suite runs skip most compiles
+os.environ.setdefault('JAX_COMPILATION_CACHE_DIR',
+                      os.path.expanduser('~/.cache/edgedict_tpu_xla_cpu'))
+os.environ.setdefault('JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS', '2')
 flags = os.environ.get('XLA_FLAGS', '')
 if '--xla_force_host_platform_device_count' not in flags:
     os.environ['XLA_FLAGS'] = (

@@ -1,6 +1,7 @@
 """Beam search: greedy equivalence at W=1, score ordering, LM fusion."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -53,6 +54,7 @@ def _oracle_best_path(params, cfg, h_enc):
     return best
 
 
+@pytest.mark.slow
 def test_beam_matches_bruteforce_oracle():
     """A wide beam must find the exact best bounded-alignment path."""
     cfg = T.TransducerConfig(
@@ -177,6 +179,7 @@ def test_streaming_beam_equals_offline_beam():
     assert text == offline, (text, offline)
 
 
+@pytest.mark.slow
 def test_prefix_merging_matches_lattice_posterior():
     """With prefix merging, an exhaustive beam's best score equals the true
     sequence posterior max_y log P(y|x) computed by the lattice DP — the

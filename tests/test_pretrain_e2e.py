@@ -57,6 +57,7 @@ def pretrain_flags(tmp_path_factory):
     return FLAGS
 
 
+@pytest.mark.slow
 def test_pretrain_and_splice(pretrain_flags):
     from edgedict_tpu.pretrainer import Wav2VecPretrainer
     from edgedict_tpu.models import wav2vec as W
@@ -109,6 +110,7 @@ def test_pretrain_and_splice(pretrain_flags):
     assert np.isfinite(float(loss))
 
 
+@pytest.mark.slow
 def test_pretrainer_evaluate(pretrain_flags):
     from edgedict_tpu.pretrainer import Wav2VecPretrainer
     ds = _ToyAudioDataset()

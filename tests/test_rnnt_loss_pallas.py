@@ -61,28 +61,32 @@ def test_pallas_batch_padding():
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
 
 
-def test_transducer_loss_default_core_switch(monkeypatch):
-    """transducer_loss with EDGEDICT_PALLAS_RNNT=force (the TPU production
-    core, interpret mode here) == the scan core: loss and parameter grads.
-    Guards the default_core() switch that makes the Pallas kernel the
-    production path on TPU."""
-    from edgedict_tpu.models import transducer as T
+def test_default_core_switch(monkeypatch):
+    """rnnt_loss_from_joint (the training path) with
+    EDGEDICT_PALLAS_RNNT=force (the TPU production core, interpret mode
+    here) == the scan core: loss and grads w.r.t. joint params and both
+    activations.  Guards the default_core() switch that makes the Pallas
+    kernel the production path on TPU."""
+    from edgedict_tpu.models.transducer import TransducerConfig, joint_init
+    from edgedict_tpu.ops.rnnt_loss import rnnt_loss_from_joint
 
-    cfg = T.TransducerConfig(
+    cfg = TransducerConfig(
         vocab_size=16, vocab_embed_size=8, input_size=8,
         enc_hidden_size=16, enc_layers=1, enc_proj_size=8,
         dec_hidden_size=8, dec_layers=1, dec_proj_size=8,
         joint_size=8, enc_time_reductions=())
-    params = T.transducer_init(jax.random.PRNGKey(0), cfg)
+    jp = joint_init(jax.random.PRNGKey(0), cfg)
     rng = np.random.RandomState(4)
-    xs = jnp.asarray(rng.randn(2, 6, cfg.input_size), jnp.float32)
+    h_enc = jnp.asarray(rng.randn(2, 6, cfg.enc_proj_size), jnp.float32)
+    h_dec = jnp.asarray(rng.randn(2, 5, cfg.dec_proj_size), jnp.float32)
     ys = jnp.asarray(rng.randint(4, cfg.vocab_size, (2, 4)), jnp.int32)
     xlen = jnp.asarray([6, 4], jnp.int32)
     ylen = jnp.asarray([4, 2], jnp.int32)
 
     def loss_and_grad():
-        f = lambda p: T.transducer_loss(p, cfg, xs, ys, xlen, ylen)
-        return jax.value_and_grad(f)(params)
+        f = lambda p, he, hd: jnp.mean(rnnt_loss_from_joint(
+            p, he, hd, ys, xlen, ylen, time_chunk=4))
+        return jax.value_and_grad(f, argnums=(0, 1, 2))(jp, h_enc, h_dec)
 
     monkeypatch.setenv('EDGEDICT_PALLAS_RNNT', '0')
     l_s, g_s = loss_and_grad()

@@ -65,9 +65,20 @@ def flags_env(tmp_path_factory):
     FLAGS.gradclip = 10.0
     FLAGS.dp_size = 2
     FLAGS.tp_size = 1
+    # shared setup so every test here is self-contained regardless of
+    # which tier (slow / fast) ran: tokenizer cache + one saved checkpoint
+    from edgedict_tpu.data import Librispeech
+    from edgedict_tpu.trainer import Trainer, build_tokenizer
+    tok = build_tokenizer(FLAGS)
+    ds = Librispeech(corpus, tok, audio_max_length=5)
+    tok.build(ds.texts())
+    trainer = Trainer(FLAGS, train_datasets=[ds],
+                      eval_dataset=None)
+    trainer.save()
     return corpus
 
 
+@pytest.mark.slow
 def test_trainer_end_to_end(flags_env):
     from edgedict_tpu.data import Librispeech
     from edgedict_tpu.trainer import Trainer, build_tokenizer
@@ -75,7 +86,6 @@ def test_trainer_end_to_end(flags_env):
     tok = build_tokenizer(FLAGS)
     train_ds = Librispeech(flags_env, tok, audio_max_length=5)
     assert len(train_ds) == 8
-    tok.build(train_ds.texts())
 
     trainer = Trainer(FLAGS, train_datasets=[train_ds],
                       eval_dataset=Librispeech(flags_env, tok,
