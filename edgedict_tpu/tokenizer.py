@@ -22,6 +22,7 @@ BPE-1024 — reference modules/tokenizer.py:39-44) is auto-detected on load.
 import json
 import os
 import pickle
+import string
 import unicodedata
 
 NUL = 0   # blank
@@ -102,6 +103,54 @@ class CharTokenizer:
 
     def id_to_token(self, idx):
         return self.id2token[int(idx)]
+
+
+class LegacyCharTokenizer:
+    """v1 character tokenizer (reference modules/tokenizer.py:33-74).
+
+    v1 id scheme: <blank>=0, <bos>=1, <unk>=2, characters from id 4 (id 3
+    is never assigned — a reference quirk, preserved so id layouts match).
+    encode() prepends BOS and maps out-of-vocab characters to BOS (the
+    reference's `else 1` branch); decode() drops unknown ids and special
+    tokens.  The charset is ASCII lowercase + punctuation + space + digits;
+    the reference string also carries mojibake codepoints from a broken
+    re-encode, which we do not reproduce (they are unreachable through its
+    own lowercasing cleaner).
+    """
+
+    def __init__(self):
+        valid = (string.ascii_lowercase + string.punctuation
+                 + ' 0123456789')
+        self.token2id = {'<blank>': 0, '<bos>': 1, '<unk>': 2}
+        for idx, token in enumerate(valid):
+            self.token2id[token] = idx + 4
+        self.id2token = {i: t for t, i in self.token2id.items()}
+        self.vocab_size = len(self.token2id)
+
+    def __str__(self):
+        return 'LegacyCharTokenizer'
+
+    def encode(self, text, max_length=-1):
+        text = str(text).lower()
+        if max_length > 1:
+            text = text[:max_length]
+        return [1] + [self.token2id.get(ch, 1) for ch in text]
+
+    def decode(self, tokens):
+        text = ''.join(self.id2token.get(int(t), '') for t in tokens)
+        for tok in ('<pad>', '<blank>', '<eos>', '<bos>', '<unk>'):
+            text = text.replace(tok, '')
+        return text
+
+    def decode_plus(self, token_batch):
+        return [self.decode(tokens) for tokens in token_batch]
+
+    @property
+    def unk_id(self):
+        return 2
+
+    def id_to_token(self, idx):
+        return self.id2token.get(int(idx), '')
 
 
 class CharBPE:
