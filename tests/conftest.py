@@ -14,14 +14,27 @@ os.environ.setdefault('JAX_COMPILATION_CACHE_DIR',
 os.environ.setdefault('JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS', '2')
 flags = os.environ.get('XLA_FLAGS', '')
 if '--xla_force_host_platform_device_count' not in flags:
-    os.environ['XLA_FLAGS'] = (
-        flags + ' --xla_force_host_platform_device_count=8').strip()
+    flags = (flags + ' --xla_force_host_platform_device_count=8').strip()
+# tests compile hundreds of tiny graphs on (often) a single host core —
+# codegen quality is irrelevant at these shapes, compile latency is the
+# suite's wall clock.  -O0 + no expensive LLVM passes cuts ~30% off the
+# cold-cache suite (numerics unchanged: optimization level ≠ fast-math).
+if '--xla_backend_optimization_level' not in flags:
+    flags += (' --xla_backend_optimization_level=0'
+              ' --xla_llvm_disable_expensive_passes=true')
+os.environ['XLA_FLAGS'] = flags
 os.environ.setdefault('JAX_ENABLE_X64', '0')
 
-# the axon sitecustomize pre-imports jax with JAX_PLATFORMS=axon; the env var
-# alone is then too late — force the platform through the config API too.
+# the axon sitecustomize pre-imports jax with JAX_PLATFORMS=axon; the env
+# vars above are then too late — force the platform AND the persistent
+# compile cache through the config API too (without the latter, every suite
+# run recompiles everything: ~12 min cold vs ~4 min cached on this 1-vCPU
+# box).
 import jax  # noqa: E402
 
 jax.config.update('jax_platforms', 'cpu')
+jax.config.update('jax_compilation_cache_dir',
+                  os.environ['JAX_COMPILATION_CACHE_DIR'])
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.1)
 assert jax.devices()[0].platform == 'cpu'
 assert jax.device_count() == 8, jax.devices()
