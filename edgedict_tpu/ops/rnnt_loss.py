@@ -240,7 +240,7 @@ def rnnt_loss(logits, labels, xlen, ylen, blank=0):
 
 
 def rnnt_loss_from_joint(joint_params, h_enc, h_dec, labels, xlen, ylen,
-                         blank=0, time_chunk=32):
+                         blank=0, time_chunk=24):
     """Memory-efficient RNN-T loss fusing the joint network.
 
     h_enc: (B, T, E) encoder output; h_dec: (B, U+1, D) prediction-net output
@@ -248,6 +248,11 @@ def rnnt_loss_from_joint(joint_params, h_enc, h_dec, labels, xlen, ylen,
     materialized `time_chunk` frames at a time (forward AND backward, via
     rematerialization), while the α/β DP runs on the small (B, T, U+1)
     transition tensors.
+
+    time_chunk=24 is the measured optimum at E6D2 scale on a v5e chip
+    (scripts/bench_train_step.py sweep: 24 → 38.2 ms/step 40.0% MFU,
+    16 → 38.6, 32 → 43.2, 64 → 61.8 — smaller live chunks reduce HBM
+    pressure until scan overhead takes over).
     """
     from edgedict_tpu.models.transducer import joint_project
     from edgedict_tpu.ops.layers import linear

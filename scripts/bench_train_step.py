@@ -14,7 +14,7 @@ import time
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--batch', type=int, default=16)
-    ap.add_argument('--chunks', type=str, default='16,32,64,128')
+    ap.add_argument('--chunks', type=str, default='16,24,32,64')
     ap.add_argument('--utt_seconds', type=float, default=14.0)
     args = ap.parse_args()
 
@@ -55,7 +55,7 @@ def main():
     orig = RL.rnnt_loss_from_joint
 
     for chunk in [int(c) for c in args.chunks.split(',')]:
-        def patched(*a, time_chunk=32, _c=chunk, **kw):
+        def patched(*a, time_chunk=24, _c=chunk, **kw):
             return orig(*a, time_chunk=_c, **kw)
         RL.rnnt_loss_from_joint = patched
         # transducer.py imports the symbol at call time from the module
