@@ -1,0 +1,336 @@
+"""Fused joint + log-softmax-gather Pallas kernel for the RNN-T loss.
+
+The lattice loss only needs TWO normalized entries per (t, u) cell — the
+blank and the next-label log-probs (ops/rnnt_loss.py).  The XLA path gets
+there by materializing (B, chunk, U+1, V) logits in HBM, reducing a
+logsumexp over V, and gathering: at E6D2 scale that is ~0.4 GB of HBM
+round trips per step and measured ~48% of the joint's FLOP bound
+(scripts/profile_train_step.py).
+
+This kernel computes, per 128-row block held entirely in VMEM
+(flash-softmax style):
+
+    h      = tanh(f[b,t,:] + g[b,u,:])          # joint pre-activation
+    logits = h @ W_out + b_out                  # MXU, fp32 accumulate
+    lse    = logsumexp(logits, axis=V)
+    out    = (logits[:, blank] - lse, logits[:, label[b,u]] - lse)
+
+so the (…, V) logits NEVER touch HBM — only f, g, W and the tiny
+(B, T, U+1) outputs move.  The backward kernel recomputes h/logits the
+same way (lse is the only saved residual), forms
+
+    dlogits = d_b·1_blank + d_l·1_label − (d_b + d_l)·softmax(logits)
+
+and reduces dW/db/df/dg on the fly: dW/db live in VMEM accumulators
+revisited across the whole grid, dg accumulates per batch row.
+
+Layout notes (Mosaic):
+  * rows of one block are (t, u) pairs of ONE batch element — R_U = U+1
+    rounded up to a power of two (≤128) and R_T = 128 // R_U time steps,
+    so every MXU call sees 128 rows regardless of label length;
+  * per-row scalars (lse, the two outputs, their cotangents) travel as
+    (B, nT, 128, 1) sublane-major arrays — no lane↔sublane relayout
+    inside the kernel; the wrapper reshapes to (B, T, U+1);
+  * per-row label ids are pre-tiled to the same (B, 128, 1) row layout;
+  * the grid is (B, nT) with t innermost, so the per-b dg accumulator
+    block is revisited consecutively.
+
+Replaces the warp-transducer's fused "logits → loss-grad" role
+(SURVEY.md §2.3) one level deeper: even the logits are fusion-local.
+Parity: tests/test_joint_lse_pallas.py (fwd + all grads vs the XLA path,
+interpret mode; the same kernel compiles on TPU where it is the
+production path in rnnt_loss_from_joint).
+"""
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+ROWS = 128
+
+
+def _interpret():
+    return jax.default_backend() != 'tpu'
+
+
+def _row_blocking(u1):
+    """(R_U, R_T) with R_U * R_T == 128 and R_U >= u1, or None."""
+    r_u = 8
+    while r_u < u1:
+        r_u *= 2
+    if r_u > ROWS:
+        return None
+    return r_u, ROWS // r_u
+
+
+def joint_lse_eligible(u1, joint_size, vocab):
+    mode = os.environ.get('EDGEDICT_PALLAS_JOINT', '1')
+    if mode == '0':
+        return False
+    if mode != 'force' and jax.default_backend() != 'tpu':
+        return False
+    return (_row_blocking(u1) is not None and joint_size % 128 == 0
+            and vocab % 128 == 0)
+
+
+def _gather_col(logits, cols, idx, keep=True):
+    """Per-row column gather as a masked sum (avoids 1-lane slicing)."""
+    return jnp.sum(jnp.where(cols == idx, logits, 0.0), axis=1,
+                   keepdims=keep)
+
+
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
+
+def _fwd_kernel(f_ref, g_ref, w_ref, bias_ref, lbl_ref,
+                blank_ref, label_ref, lse_ref, *, blank, r_t, r_u):
+    j = f_ref.shape[-1]
+    h = jnp.tanh(f_ref[0, 0][:, None, :].astype(jnp.float32)
+                 + g_ref[0][None, :, :].astype(jnp.float32))
+    hb = h.reshape(ROWS, j).astype(w_ref.dtype)
+    logits = jax.lax.dot_general(
+        hb, w_ref[:, :], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) + bias_ref[:, :]
+    m = jnp.max(logits, axis=1, keepdims=True)
+    lse = m + jnp.log(jnp.sum(jnp.exp(logits - m), axis=1, keepdims=True))
+
+    v = logits.shape[1]
+    cols = jax.lax.broadcasted_iota(jnp.int32, (ROWS, v), 1)
+    lbl = lbl_ref[0]                                   # (ROWS, 1) int32
+    blank_ref[0, 0] = _gather_col(logits, cols, blank) - lse
+    label_ref[0, 0] = _gather_col(logits, cols, lbl) - lse
+    lse_ref[0, 0] = lse
+
+
+def _run_fwd(f, g, w_t, bias, lbl_rows, blank, r_t, r_u):
+    B, n_t, _, J = f.shape
+    V = w_t.shape[1]
+    kernel = functools.partial(_fwd_kernel, blank=blank, r_t=r_t, r_u=r_u)
+    scal = pl.BlockSpec((1, 1, ROWS, 1), lambda b, t: (b, t, 0, 0),
+                        memory_space=pltpu.VMEM)
+    out3 = [jax.ShapeDtypeStruct((B, n_t, ROWS, 1), jnp.float32)] * 3
+    return pl.pallas_call(
+        kernel,
+        grid=(B, n_t),
+        in_specs=[
+            pl.BlockSpec((1, 1, r_t, J), lambda b, t: (b, t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, r_u, J), lambda b, t: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((J, V), lambda b, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, V), lambda b, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ROWS, 1), lambda b, t: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[scal, scal, scal],
+        out_shape=out3,
+        interpret=_interpret(),
+    )(f, g, w_t, bias, lbl_rows)
+
+
+# ---------------------------------------------------------------------------
+# backward
+# ---------------------------------------------------------------------------
+
+def _bwd_kernel(f_ref, g_ref, w_ref, bias_ref, lbl_ref, lse_ref,
+                db_ref, dl_ref, df_ref, dg_ref, dw_ref, dbias_ref,
+                dg_s, dw_s, dbias_s, *, blank, r_t, r_u):
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+    n_b = pl.num_programs(0)
+    n_t = pl.num_programs(1)
+    j = f_ref.shape[-1]
+
+    @pl.when(jnp.logical_and(b == 0, t == 0))
+    def _():
+        dw_s[:, :] = jnp.zeros_like(dw_s)
+        dbias_s[:, :] = jnp.zeros_like(dbias_s)
+
+    @pl.when(t == 0)
+    def _():
+        dg_s[:, :] = jnp.zeros_like(dg_s)
+
+    # recompute h and logits — lse is the only saved residual
+    h = jnp.tanh(f_ref[0, 0][:, None, :].astype(jnp.float32)
+                 + g_ref[0][None, :, :].astype(jnp.float32))
+    hb32 = h.reshape(ROWS, j)
+    hb = hb32.astype(w_ref.dtype)
+    logits = jax.lax.dot_general(
+        hb, w_ref[:, :], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) + bias_ref[:, :]
+
+    lse = lse_ref[0, 0]                                # (ROWS, 1)
+    d_b = db_ref[0, 0]
+    d_l = dl_ref[0, 0]
+    v = logits.shape[1]
+    p = jnp.exp(logits - lse)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (ROWS, v), 1)
+    lbl = lbl_ref[0]                                   # (ROWS, 1) int32
+    dlogits = (jnp.where(cols == blank, d_b, 0.0)
+               + jnp.where(cols == lbl, d_l, 0.0)
+               - (d_b + d_l) * p)
+
+    dlog_mxu = dlogits.astype(w_ref.dtype)
+    dw_s[:, :] += jax.lax.dot_general(
+        hb, dlog_mxu, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dbias_s[:, :] += jnp.sum(dlogits, axis=0, keepdims=True)
+
+    dh = jax.lax.dot_general(
+        dlog_mxu, w_ref[:, :], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    da = (dh * (1.0 - hb32 * hb32)).reshape(r_t, r_u, j)
+    df_ref[0, 0] = jnp.sum(da, axis=1).astype(df_ref.dtype)
+    dg_s[:, :] += jnp.sum(da, axis=0)
+
+    @pl.when(t == n_t - 1)
+    def _():
+        dg_ref[0] = dg_s[:, :].astype(dg_ref.dtype)
+
+    @pl.when(jnp.logical_and(b == n_b - 1, t == n_t - 1))
+    def _():
+        dw_ref[:, :] = dw_s[:, :]
+        dbias_ref[:, :] = dbias_s[:, :]
+
+
+def _run_bwd(f, g, w_t, bias, lbl_rows, lse, d_blank, d_label,
+             blank, r_t, r_u):
+    B, n_t, _, J = f.shape
+    V = w_t.shape[1]
+    kernel = functools.partial(_bwd_kernel, blank=blank, r_t=r_t, r_u=r_u)
+    scal = pl.BlockSpec((1, 1, ROWS, 1), lambda b, t: (b, t, 0, 0),
+                        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(B, n_t),
+        in_specs=[
+            pl.BlockSpec((1, 1, r_t, J), lambda b, t: (b, t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, r_u, J), lambda b, t: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((J, V), lambda b, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, V), lambda b, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ROWS, 1), lambda b, t: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            scal,                                      # lse
+            scal,                                      # d_blank
+            scal,                                      # d_label
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, r_t, J), lambda b, t: (b, t, 0, 0),
+                         memory_space=pltpu.VMEM),     # df
+            pl.BlockSpec((1, r_u, J), lambda b, t: (b, 0, 0),
+                         memory_space=pltpu.VMEM),     # dg (per-b revisit)
+            pl.BlockSpec((J, V), lambda b, t: (0, 0),
+                         memory_space=pltpu.VMEM),     # dw (global revisit)
+            pl.BlockSpec((1, V), lambda b, t: (0, 0),
+                         memory_space=pltpu.VMEM),     # dbias
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, n_t, r_t, J), f.dtype),
+            jax.ShapeDtypeStruct((B, r_u, J), g.dtype),
+            jax.ShapeDtypeStruct((J, V), jnp.float32),
+            jax.ShapeDtypeStruct((1, V), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((r_u, J), jnp.float32),
+            pltpu.VMEM((J, V), jnp.float32),
+            pltpu.VMEM((1, V), jnp.float32),
+        ],
+        interpret=_interpret(),
+    )(f, g, w_t, bias, lbl_rows, lse, d_blank, d_label)
+
+
+# ---------------------------------------------------------------------------
+# custom-vjp wrapper
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def fused_joint_lse(f, g, w_t, bias, labels, blank):
+    """(f (B,T,J), g (B,U1,J), w_t (J,V) fp32, bias (V,) fp32,
+    labels (B,U) int32) → (blank_lp (B,T,U1), label_lp (B,T,U)) —
+    normalized log-probs of the blank and next-label transitions, without
+    ever materializing the (B,T,U1,V) logits.  MXU math runs in bf16 with
+    fp32 accumulation on TPU (matching the XLA path's compute dtype)."""
+    out, _ = _vjp_fwd(f, g, w_t, bias, labels, blank)
+    return out
+
+
+def _prep(f, g, labels, blank):
+    B, T, _ = f.shape
+    U1 = g.shape[1]
+    U = labels.shape[1]
+    r_u, r_t = _row_blocking(U1)
+    pad_t = (-T) % r_t
+    f_p = jnp.pad(f, ((0, 0), (0, pad_t), (0, 0))) if pad_t else f
+    g_p = jnp.pad(g, ((0, 0), (0, r_u - U1), (0, 0)))
+    # padded label slots point at blank — their cotangents are zero (the
+    # DP core masks invalid cells) so the gathered value never matters
+    labels_p = jnp.pad(labels.astype(jnp.int32),
+                       ((0, 0), (0, r_u - U)), constant_values=blank)
+    # per-row label ids in block-row order (u fastest within each t)
+    lbl_rows = jnp.tile(labels_p, (1, r_t)).reshape(B, ROWS, 1)
+    return f_p, g_p, lbl_rows, r_u, r_t, T, U1, U
+
+
+def _scal_to_rows(x, B, n_t, r_t, r_u, T, U1):
+    """(B, T, U1) per-cell scalars → the kernel's (B, nT, 128, 1) layout."""
+    out = jnp.zeros((B, n_t * r_t, r_u), jnp.float32)
+    out = out.at[:, :T, :x.shape[2]].set(x.astype(jnp.float32))
+    return out.reshape(B, n_t, ROWS, 1)
+
+
+def _rows_to_scal(x, B, Tp, r_t, r_u):
+    """(B, nT, 128, 1) → (B, Tp, r_u)."""
+    return x.reshape(B, Tp // r_t, r_t, r_u).reshape(B, Tp, r_u)
+
+
+def _mxu_dtype(ref_dtype):
+    return jnp.bfloat16 if jax.default_backend() == 'tpu' else ref_dtype
+
+
+def _vjp_fwd(f, g, w_t, bias, labels, blank):
+    f_p, g_p, lbl_rows, r_u, r_t, T, U1, U = _prep(f, g, labels, blank)
+    B, Tp, _ = f_p.shape
+    dt = _mxu_dtype(f.dtype)
+    f4 = f_p.reshape(B, Tp // r_t, r_t, -1)
+    blank4, label4, lse4 = _run_fwd(
+        f4.astype(dt), g_p.astype(dt), w_t.astype(dt),
+        bias.astype(jnp.float32)[None], lbl_rows, blank, r_t, r_u)
+    blank_lp = _rows_to_scal(blank4, B, Tp, r_t, r_u)[:, :T, :U1]
+    label_lp = _rows_to_scal(label4, B, Tp, r_t, r_u)[:, :T, :U]
+    return (blank_lp, label_lp), (f, g, w_t, bias, labels, lse4)
+
+
+def _vjp_bwd(blank, res, grads):
+    f, g, w_t, bias, labels, lse4 = res
+    d_blank, d_label = grads
+    f_p, g_p, lbl_rows, r_u, r_t, T, U1, U = _prep(f, g, labels, blank)
+    B, Tp, _ = f_p.shape
+    n_t = Tp // r_t
+    db4 = _scal_to_rows(d_blank, B, n_t, r_t, r_u, T, U1)
+    dl4 = _scal_to_rows(d_label, B, n_t, r_t, r_u, T, U1)
+
+    dt = _mxu_dtype(f.dtype)
+    f4 = f_p.reshape(B, n_t, r_t, -1)
+    df4, dg, dw, dbias = _run_bwd(
+        f4.astype(dt), g_p.astype(dt), w_t.astype(dt),
+        bias.astype(jnp.float32)[None], lbl_rows, lse4, db4, dl4,
+        blank, r_t, r_u)
+    df = df4.reshape(B, Tp, -1)
+    d_labels = np.zeros(labels.shape, jax.dtypes.float0)
+    return (df[:, :T].astype(f.dtype), dg[:, :U1].astype(g.dtype),
+            dw.astype(w_t.dtype), dbias[0].astype(bias.dtype), d_labels)
+
+
+fused_joint_lse.defvjp(_vjp_fwd, _vjp_bwd)

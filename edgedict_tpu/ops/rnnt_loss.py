@@ -261,6 +261,18 @@ def rnnt_loss_from_joint(joint_params, h_enc, h_dec, labels, xlen, ylen,
     U1 = h_dec.shape[1]
     f, g = joint_project(joint_params, h_enc, h_dec)  # (B,T,J), (B,U1,J)
 
+    from edgedict_tpu.ops.joint_lse_pallas import (
+        fused_joint_lse, joint_lse_eligible)
+    w_out = joint_params['out']['w']                  # (V, J)
+    if joint_lse_eligible(U1, f.shape[-1], w_out.shape[0]):
+        # fused Pallas path: joint-out matmul + logsumexp + gathers in one
+        # kernel, (B,T,U1,V) logits never reach HBM (see joint_lse_pallas)
+        blank_lp, label_lp = fused_joint_lse(
+            f, g, jnp.swapaxes(w_out, 0, 1), joint_params['out']['b'],
+            labels.astype(jnp.int32), blank)
+        return default_core()(blank_lp, label_lp,
+                              xlen.astype(jnp.int32), ylen.astype(jnp.int32))
+
     pad_t = (-T) % time_chunk
     if pad_t:
         f = jnp.pad(f, ((0, 0), (0, pad_t), (0, 0)))

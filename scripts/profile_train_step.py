@@ -1,0 +1,103 @@
+"""Component-level E6D2 train-step breakdown on chip (slope timing).
+
+Times fwd+bwd of: encoder alone, decoder alone, the fused joint+lattice
+loss alone (given fixed h_enc/h_dec), and the full loss — to show where
+the step's 38 ms goes and what a fused Pallas joint+LSE kernel could save.
+
+  python -m scripts.profile_train_step
+"""
+
+import time
+
+import numpy as np
+
+
+def chain_time(fn, args, lo=3, hi=13, reps=3):
+    """Per-call device time by slope.  Calls are issued back-to-back with
+    one block at the end: the device executes them serially, so the lo→hi
+    difference isolates per-call device time from the dispatch floor."""
+    import jax
+
+    def run(n):
+        t0 = time.time()
+        o = None
+        for _ in range(n):
+            o = fn(*args)
+        jax.block_until_ready(o)
+        return time.time() - t0
+
+    run(2)
+    t_lo = min(run(lo) for _ in range(reps))
+    t_hi = min(run(hi) for _ in range(reps))
+    return (t_hi - t_lo) / (hi - lo) * 1e3
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from edgedict_tpu.models import transducer as T
+    from edgedict_tpu.ops.rnnt_loss import rnnt_loss_from_joint
+
+    cfg = T.TransducerConfig(
+        vocab_size=2048, vocab_embed_size=64, input_size=240,
+        enc_hidden_size=1024, enc_layers=6, enc_proj_size=640,
+        dec_hidden_size=256, dec_layers=2, dec_proj_size=256,
+        joint_size=640, enc_time_reductions=(1,))
+    B, t_ds, u = 16, 372, 60
+    rng = np.random.RandomState(0)
+    params = T.transducer_init(jax.random.PRNGKey(0), cfg)
+    xs = jnp.asarray(rng.randn(B, t_ds, cfg.input_size), jnp.bfloat16)
+    ys = jnp.asarray(rng.randint(4, cfg.vocab_size, (B, u)), jnp.int32)
+    xlen = jnp.full((B,), t_ds, jnp.int32)
+    ylen = jnp.full((B,), u, jnp.int32)
+
+    # component pieces at the shapes the full step produces
+    h_enc, _ = jax.jit(lambda p, x: T.encoder_apply(p, cfg, x))(
+        params['encoder'], xs)
+    h_dec, _ = jax.jit(lambda p, y: T.decoder_apply(p, cfg, y))(
+        params['decoder'], ys)
+    t_red = h_enc.shape[1]
+    xlen_s = jnp.full((B,), t_red, jnp.int32)
+
+    @jax.jit
+    def enc_fb(p, x):
+        def f(p):
+            h, _ = T.encoder_apply(p, cfg, x)
+            return jnp.sum(h.astype(jnp.float32))
+        return jax.grad(f)(p)
+
+    @jax.jit
+    def dec_fb(p, y):
+        def f(p):
+            h, _ = T.decoder_apply(p, cfg, y)
+            return jnp.sum(h.astype(jnp.float32))
+        return jax.grad(f)(p)
+
+    @jax.jit
+    def loss_only_fb(jp, he, hd):
+        def f(jp, he, hd):
+            return jnp.mean(rnnt_loss_from_joint(
+                jp, he, hd, ys, xlen_s, ylen))
+        return jax.grad(f, argnums=(0, 1, 2))(jp, he, hd)
+
+    @jax.jit
+    def full_fb(p):
+        def f(p):
+            return T.transducer_loss(p, cfg, xs, ys, xlen, ylen)
+        return jax.grad(f)(p)
+
+    enc_ms = chain_time(enc_fb, (params['encoder'], xs))
+    dec_ms = chain_time(dec_fb, (params['decoder'], ys))
+    loss_ms = chain_time(loss_only_fb, (params['joint'], h_enc, h_dec))
+    full_ms = chain_time(full_fb, (params,))
+
+    print(f'encoder fwd+bwd:          {enc_ms:7.2f} ms')
+    print(f'decoder fwd+bwd:          {dec_ms:7.2f} ms')
+    print(f'joint+lattice loss f+b:   {loss_ms:7.2f} ms '
+          f'(h_enc {tuple(h_enc.shape)}, h_dec {tuple(h_dec.shape)})')
+    print(f'full loss fwd+bwd:        {full_ms:7.2f} ms')
+
+
+if __name__ == '__main__':
+    main()

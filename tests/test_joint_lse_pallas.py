@@ -1,0 +1,133 @@
+"""Fused joint+LSE Pallas kernel (ops/joint_lse_pallas.py) vs the plain
+XLA computation: forward values and ALL gradients (f, g, W, bias), plus
+end-to-end equality of rnnt_loss_from_joint on both paths.
+
+Runs in interpret mode on CPU (fp32 exact); the same kernel compiles on
+TPU where it is the production path.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from edgedict_tpu.ops.joint_lse_pallas import (
+    fused_joint_lse, joint_lse_eligible)
+
+
+def _xla_reference(f, g, w_t, bias, labels, blank):
+    """The un-fused computation the kernel replaces."""
+    h = jnp.tanh(f[:, :, None, :] + g[:, None, :, :])     # (B,T,U1,J)
+    logits = jnp.einsum('btuj,jv->btuv', h, w_t) + bias
+    lse = jax.scipy.special.logsumexp(logits, axis=-1)
+    blank_lp = logits[..., blank] - lse
+    u = labels.shape[1]
+    label_lp = jnp.take_along_axis(
+        logits[:, :, :u, :], labels[:, None, :, None], axis=-1
+    )[..., 0] - lse[:, :, :u]
+    return blank_lp, label_lp
+
+
+def _case(key, B=2, T=5, U=6, J=16, V=32):
+    ks = jax.random.split(key, 5)
+    f = jax.random.normal(ks[0], (B, T, J)) * 0.5
+    g = jax.random.normal(ks[1], (B, U + 1, J)) * 0.5
+    w_t = jax.random.normal(ks[2], (J, V)) * 0.3
+    bias = jax.random.normal(ks[3], (V,)) * 0.2
+    labels = jax.random.randint(ks[4], (B, U), 1, V)
+    return f, g, w_t, bias, labels
+
+
+def test_forward_parity(monkeypatch):
+    monkeypatch.setenv('EDGEDICT_PALLAS_JOINT', 'force')
+    f, g, w_t, bias, labels = _case(jax.random.PRNGKey(0))
+    got_b, got_l = fused_joint_lse(f, g, w_t, bias, labels, 0)
+    want_b, want_l = _xla_reference(f, g, w_t, bias, labels, 0)
+    np.testing.assert_allclose(np.asarray(got_b), np.asarray(want_b),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_l), np.asarray(want_l),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_forward_parity_big_u_and_odd_t(monkeypatch):
+    """U+1 > 64 exercises the R_U=128/R_T=1 blocking; odd T the padding."""
+    monkeypatch.setenv('EDGEDICT_PALLAS_JOINT', 'force')
+    f, g, w_t, bias, labels = _case(jax.random.PRNGKey(1), T=3, U=70)
+    got_b, got_l = fused_joint_lse(f, g, w_t, bias, labels, 0)
+    want_b, want_l = _xla_reference(f, g, w_t, bias, labels, 0)
+    np.testing.assert_allclose(np.asarray(got_b), np.asarray(want_b),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_l), np.asarray(want_l),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_gradient_parity(monkeypatch):
+    monkeypatch.setenv('EDGEDICT_PALLAS_JOINT', 'force')
+    f, g, w_t, bias, labels = _case(jax.random.PRNGKey(2))
+    key = jax.random.PRNGKey(3)
+    # weighted sum → non-trivial cotangents for BOTH outputs
+    wb = jax.random.normal(key, (2, 5, 7))
+    wl = jax.random.normal(jax.random.PRNGKey(4), (2, 5, 6))
+
+    def loss(fn):
+        def inner(f, g, w_t, bias):
+            b, l = fn(f, g, w_t, bias, labels, 0)
+            return jnp.sum(b * wb) + jnp.sum(l * wl)
+        return inner
+
+    got = jax.grad(loss(fused_joint_lse), argnums=(0, 1, 2, 3))(
+        f, g, w_t, bias)
+    want = jax.grad(loss(_xla_reference), argnums=(0, 1, 2, 3))(
+        f, g, w_t, bias)
+    for a, b in zip(want, got):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_rnnt_loss_from_joint_fused_equals_xla(monkeypatch):
+    """End-to-end: the production loss on the fused path == the chunked
+    XLA path, values AND gradients through the full joint params."""
+    from edgedict_tpu.ops.rnnt_loss import rnnt_loss_from_joint
+
+    B, T, U, E, D, J, V = 2, 9, 4, 12, 10, 16, 32
+    ks = jax.random.split(jax.random.PRNGKey(5), 6)
+    h_enc = jax.random.normal(ks[0], (B, T, E)) * 0.5
+    h_dec = jax.random.normal(ks[1], (B, U + 1, D)) * 0.5
+    joint_params = {
+        'w_enc': jax.random.normal(ks[2], (J, E)) * 0.3,
+        'w_dec': jax.random.normal(ks[3], (J, D)) * 0.3,
+        'b': jnp.zeros((J,)),
+        'out': {'w': jax.random.normal(ks[4], (V, J)) * 0.3,
+                'b': jnp.zeros((V,))},
+    }
+    labels = jax.random.randint(ks[5], (B, U), 1, V)
+    xlen = jnp.asarray([T, T - 2], jnp.int32)
+    ylen = jnp.asarray([U, U - 1], jnp.int32)
+
+    def run():
+        def loss(jp, he, hd):
+            return jnp.sum(rnnt_loss_from_joint(
+                jp, he, hd, labels, xlen, ylen))
+        val, grads = jax.value_and_grad(loss, argnums=(0, 1, 2))(
+            joint_params, h_enc, h_dec)
+        return val, grads
+
+    monkeypatch.setenv('EDGEDICT_PALLAS_JOINT', 'force')
+    val_p, grads_p = run()
+    monkeypatch.setenv('EDGEDICT_PALLAS_JOINT', '0')
+    val_x, grads_x = run()
+
+    np.testing.assert_allclose(float(val_p), float(val_x), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(grads_x), jax.tree.leaves(grads_p)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_eligibility_gate(monkeypatch):
+    monkeypatch.setenv('EDGEDICT_PALLAS_JOINT', 'force')
+    assert joint_lse_eligible(61, 640, 2048)
+    assert not joint_lse_eligible(200, 640, 2048)   # U+1 > 128
+    assert not joint_lse_eligible(61, 100, 2048)    # J not 128-aligned
+    monkeypatch.setenv('EDGEDICT_PALLAS_JOINT', '0')
+    assert not joint_lse_eligible(61, 640, 2048)
