@@ -334,3 +334,24 @@ def _vjp_bwd(blank, res, grads):
 
 
 fused_joint_lse.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+def fused_joint_lse_sharded(mesh, f, g, w_t, bias, labels, blank,
+                            batch_axis='dp'):
+    """Batch-sharded fused joint under shard_map: batch split over
+    `batch_axis`, W/bias replicated (their cotangents psum across shards
+    via shard_map's AD, same pattern as the Pallas LSTM's W_hh).
+    pallas_call is not auto-partitionable under GSPMD — this wrapper is
+    what lets the kernel live inside a dp-sharded jitted train step."""
+    from jax.sharding import PartitionSpec as P
+
+    from edgedict_tpu.ops.rnn_pallas import _shard_map
+
+    fn = _shard_map(
+        lambda f_, g_, w_, b_, l_: fused_joint_lse(f_, g_, w_, b_, l_,
+                                                   blank),
+        mesh=mesh,
+        in_specs=(P(batch_axis, None, None), P(batch_axis, None, None),
+                  P(None, None), P(None), P(batch_axis, None)),
+        out_specs=(P(batch_axis, None, None), P(batch_axis, None, None)))
+    return fn(f, g, w_t, bias, labels)

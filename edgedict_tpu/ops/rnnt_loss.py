@@ -261,17 +261,33 @@ def rnnt_loss_from_joint(joint_params, h_enc, h_dec, labels, xlen, ylen,
     U1 = h_dec.shape[1]
     f, g = joint_project(joint_params, h_enc, h_dec)  # (B,T,J), (B,U1,J)
 
+    from edgedict_tpu.ops import rnn as rnn_ops
     from edgedict_tpu.ops.joint_lse_pallas import (
-        fused_joint_lse, joint_lse_eligible)
+        fused_joint_lse, fused_joint_lse_sharded, joint_lse_eligible)
     w_out = joint_params['out']['w']                  # (V, J)
     if joint_lse_eligible(U1, f.shape[-1], w_out.shape[0]):
         # fused Pallas path: joint-out matmul + logsumexp + gathers in one
-        # kernel, (B,T,U1,V) logits never reach HBM (see joint_lse_pallas)
-        blank_lp, label_lp = fused_joint_lse(
-            f, g, jnp.swapaxes(w_out, 0, 1), joint_params['out']['b'],
-            labels.astype(jnp.int32), blank)
-        return default_core()(blank_lp, label_lp,
-                              xlen.astype(jnp.int32), ylen.astype(jnp.int32))
+        # kernel, (B,T,U1,V) logits never reach HBM (see joint_lse_pallas).
+        # pallas_call can't be GSPMD-partitioned: under an active mesh the
+        # kernel runs per-shard via shard_map; a multi-device session
+        # WITHOUT a mesh context falls back to the XLA path (the same
+        # routing contract as the Pallas LSTM, ops/rnn.py).
+        ctx = rnn_ops.current_mesh()
+        shards = dict(ctx[0].shape).get(ctx[1], 1) if ctx else 1
+        args = (f, g, jnp.swapaxes(w_out, 0, 1), joint_params['out']['b'],
+                labels.astype(jnp.int32), blank)
+        if ctx is not None and shards > 1:
+            if B % shards == 0:
+                blank_lp, label_lp = fused_joint_lse_sharded(
+                    ctx[0], *args, batch_axis=ctx[1])
+                return default_core()(blank_lp, label_lp,
+                                      xlen.astype(jnp.int32),
+                                      ylen.astype(jnp.int32))
+        elif jax.device_count() == 1:
+            blank_lp, label_lp = fused_joint_lse(*args)
+            return default_core()(blank_lp, label_lp,
+                                  xlen.astype(jnp.int32),
+                                  ylen.astype(jnp.int32))
 
     pad_t = (-T) % time_chunk
     if pad_t:

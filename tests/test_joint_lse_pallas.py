@@ -124,6 +124,63 @@ def test_rnnt_loss_from_joint_fused_equals_xla(monkeypatch):
                                    rtol=1e-4, atol=1e-5)
 
 
+def test_train_step_routes_fused_joint_on_dp_mesh(monkeypatch):
+    """FULL sharded train step on the 8-device dp mesh with the fused
+    joint kernel engaged (force/interpret, via shard_map) == the XLA
+    path: same loss, same updated params.  pallas_call can't be GSPMD-
+    partitioned, so this pins the shard_map routing in rnnt_loss."""
+    import edgedict_tpu.ops.joint_lse_pallas as jl
+    from edgedict_tpu import optim
+    from edgedict_tpu.models import transducer as T
+    from edgedict_tpu.parallel import (
+        make_mesh, make_train_state, make_train_step, shard_batch)
+
+    cfg = T.TransducerConfig(
+        vocab_size=128, vocab_embed_size=8, input_size=16,
+        enc_hidden_size=16, enc_layers=2, enc_proj_size=16,
+        dec_hidden_size=16, dec_layers=1, dec_proj_size=16,
+        joint_size=128, enc_time_reductions=(1,))
+    mesh = make_mesh(dp=8, tp=1)
+    b, t, u = 16, 6, 4
+    rng = np.random.RandomState(0)
+    raw = {
+        'xs': rng.randn(b, t, cfg.input_size).astype(np.float32),
+        'xlen': np.full((b,), t, np.int32),
+        'ys': rng.randint(4, cfg.vocab_size, (b, u)).astype(np.int32),
+        'ylen': np.full((b,), u, np.int32),
+    }
+
+    def one_step(mode):
+        monkeypatch.setenv('EDGEDICT_PALLAS_JOINT', mode)
+        opt = optim.build_optimizer('adam', lr=1e-3, gradclip=10.0)
+        state = make_train_state(jax.random.PRNGKey(0), cfg, opt, mesh)
+        step = make_train_step(cfg, opt, mesh, bf16=False)
+        batch = shard_batch(mesh, raw, accum_steps=1)
+        state, metrics = step(state, batch, jax.random.PRNGKey(1),
+                              jnp.asarray(1e-3))
+        return state, metrics
+
+    calls = []
+    orig = jl.fused_joint_lse_sharded
+
+    def spy(*args, **kwargs):
+        calls.append(1)
+        return orig(*args, **kwargs)
+
+    monkeypatch.setattr(jl, 'fused_joint_lse_sharded', spy)
+    import edgedict_tpu.ops.rnnt_loss  # noqa: F401 (spy is looked up late)
+    state_p, m_p = one_step('force')
+    assert calls, 'fused joint shard_map path did not engage'
+    state_s, m_s = one_step('0')
+
+    np.testing.assert_allclose(float(m_p['loss']), float(m_s['loss']),
+                               rtol=1e-5)
+    for a, b_ in zip(jax.tree.leaves(state_s.params),
+                     jax.tree.leaves(state_p.params)):
+        np.testing.assert_allclose(np.asarray(b_), np.asarray(a),
+                                   rtol=1e-4, atol=1e-5)
+
+
 def test_eligibility_gate(monkeypatch):
     monkeypatch.setenv('EDGEDICT_PALLAS_JOINT', 'force')
     assert joint_lse_eligible(61, 640, 2048)
