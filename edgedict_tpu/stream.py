@@ -197,6 +197,107 @@ class StreamingBeamDecoder:
         return ''.join(out)
 
 
+class MultiStreamBeamDecoder:
+    """Server-mode beam search: N independent streams, each carrying its
+    own fixed-shape beam, advanced in ONE dispatch per chunk round — the
+    batch axis of the jitted chunk step carries the streams, exactly as
+    MultiStreamDecoder does for greedy.  (No reference counterpart: its
+    beam search is offline and single-sequence, models.py:121-125.)
+
+    decode(frames) returns the CURRENT best hypothesis text per stream
+    (beam search may revise earlier output, so callers re-render)."""
+
+    def __init__(self, params, cfg, feature_cfg: FeatureConfig, tokenizer,
+                 n_streams, step_n_frame=2, beam_width=4,
+                 max_sym_per_frame=2, max_tokens=200, lm=None,
+                 merge_prefixes=False):
+        assert not feature_cfg.pad_to_divisible
+        from edgedict_tpu.models.beam_search import (
+            best_hypothesis, make_beam_machinery)
+        self.params = params
+        self.cfg = cfg
+        self.tokenizer = tokenizer
+        self.n = n_streams
+        self.pipeline = FeaturePipeline(feature_cfg)
+        self.win_size, self.hop_size = stream_chunk_geometry(
+            feature_cfg.win_length, feature_cfg.hop_length,
+            feature_cfg.downsample, step_n_frame)
+        self._init_beam, frame_step = make_beam_machinery(
+            params, cfg, batch=n_streams, beam_width=beam_width,
+            max_sym_per_frame=max_sym_per_frame, max_tokens=max_tokens,
+            lm=lm, merge_prefixes=merge_prefixes)
+        pipeline = self.pipeline
+        n = n_streams
+
+        def chunk_step(params, enc_state, beam, audio):
+            lens = jnp.full((n,), audio.shape[1], jnp.int32)
+            xs, _ = pipeline(audio, lens, train=False)
+            enc_xs, enc_state = T.encoder_apply(
+                params['encoder'], cfg, xs, enc_state)
+            valid = jnp.ones((enc_xs.shape[1], n), bool)
+            beam, _ = jax.lax.scan(
+                frame_step, beam,
+                (jnp.swapaxes(enc_xs, 0, 1), valid))
+            toks, n_tok, logp = best_hypothesis(beam)
+            return enc_state, beam, toks, n_tok, logp
+
+        self.chunk_step = jax.jit(chunk_step)
+        self.elapsed = []
+        self.reset()
+
+    def reset(self):
+        self.enc_state = T.encoder_zero_state(self.cfg, self.n)
+        self.beam = self._init_beam()
+
+    def reset_stream(self, i):
+        """Reset one stream's encoder state and beam, leaving the rest."""
+        fresh_enc = T.encoder_zero_state(self.cfg, self.n)
+        fresh_beam = self._init_beam()
+
+        def blend(axis):
+            def f(new, old):
+                idx = jnp.arange(old.shape[axis])
+                shape = [1] * old.ndim
+                shape[axis] = -1
+                return jnp.where(idx.reshape(shape) == i, new, old)
+            return f
+        self.enc_state = jax.tree.map(blend(1), fresh_enc, self.enc_state)
+        # BeamState batch axes: dec_state/lm_state carry batch at axis 1,
+        # everything else at axis 0
+        b = self.beam
+        self.beam = b._replace(
+            tokens=blend(0)(fresh_beam.tokens, b.tokens),
+            n_tok=blend(0)(fresh_beam.n_tok, b.n_tok),
+            logp=blend(0)(fresh_beam.logp, b.logp),
+            dec_out=blend(0)(fresh_beam.dec_out, b.dec_out),
+            dec_state=jax.tree.map(blend(1), fresh_beam.dec_state,
+                                   b.dec_state),
+            lm_state=(jax.tree.map(blend(1), fresh_beam.lm_state,
+                                   b.lm_state)
+                      if b.lm_state is not None else None),
+            lm_next=(blend(0)(fresh_beam.lm_next, b.lm_next)
+                     if b.lm_next is not None else None))
+
+    def decode(self, frames: np.ndarray):
+        """frames (n_streams, win_size) → current best text per stream."""
+        start = time.time()
+        audio = jnp.asarray(frames, jnp.float32)
+        self.enc_state, self.beam, toks, n_tok, _ = self.chunk_step(
+            self.params, self.enc_state, self.beam, audio)
+        toks = np.asarray(toks)
+        n_tok = np.asarray(n_tok)
+        self.elapsed.append(time.time() - start)
+        out = []
+        for s in range(self.n):
+            pieces = []
+            for t in toks[s, :int(n_tok[s])]:
+                if t > UNK:
+                    pieces.append(self.tokenizer.id_to_token(int(t))
+                                  .replace('</w>', ' '))
+            out.append(''.join(pieces))
+        return out
+
+
 class MultiStreamDecoder:
     """Server mode: N independent audio streams decoded in ONE dispatch per
     chunk round — the batch dimension of the jitted chunk step carries the

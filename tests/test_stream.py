@@ -149,3 +149,37 @@ def test_multistream_matches_single_streams():
         np.asarray(multi.state.enc_state[0][:, 1]), st_before)
     np.testing.assert_allclose(
         np.asarray(multi.state.enc_state[0][:, 0]), 0.0)
+
+
+def test_multistream_beam_matches_single_stream_beam():
+    """N-stream server beam decode == N independent streaming beam
+    decoders (same beams, same revisable hypotheses, one dispatch)."""
+    from edgedict_tpu.stream import (
+        MultiStreamBeamDecoder, StreamingBeamDecoder)
+    feature_cfg = FeatureConfig(
+        feature_type='logfbank', feature_size=3, n_fft=64, win_length=40,
+        hop_length=20, downsample=3, pad_to_divisible=False)
+    params = T.transducer_init(jax.random.PRNGKey(9), CFG)
+    multi = MultiStreamBeamDecoder(params, CFG, feature_cfg, _Tok(),
+                                   n_streams=3, step_n_frame=2,
+                                   beam_width=3, max_tokens=24)
+    singles = [StreamingBeamDecoder(params, CFG, feature_cfg, _Tok(),
+                                    step_n_frame=2, beam_width=3,
+                                    max_tokens=24) for _ in range(3)]
+    rng = np.random.RandomState(1)
+    audios = rng.randn(3, multi.win_size * 3).astype(np.float32) * 0.5
+
+    for c in range(3):
+        chunk = audios[:, c * multi.hop_size:
+                       c * multi.hop_size + multi.win_size]
+        outs = multi.decode(chunk)
+        wants = [singles[s].decode(chunk[s]) for s in range(3)]
+        assert outs == wants, (c, outs, wants)
+
+    # per-stream reset zeroes only that stream's beam + encoder state
+    logp_before = np.asarray(multi.beam.logp[1])
+    multi.reset_stream(0)
+    np.testing.assert_allclose(np.asarray(multi.beam.logp[1]), logp_before)
+    assert int(multi.beam.n_tok[0, 0]) == 0
+    np.testing.assert_allclose(
+        np.asarray(multi.enc_state[0][:, 0]), 0.0)
