@@ -14,10 +14,14 @@ The `extra` field carries honest-accounting companions (VERDICT round 1):
     dispatch with immediate result fetch — the reference's per-chunk
     protocol, no block batching, no lag-1 pipelining.
   * train_step_ms / train_step_mfu: full E6D2 training step (fwd+bwd+adam,
-    bf16, B=16 × 14 s utterances) and model-FLOPs utilization against the
-    chip's bf16 peak; FLOPs are counted analytically from the matmul
-    shapes (fwd ×3 for backward + one extra joint-out term for the
+    bf16, B=32 × 14 s utterances — the reference's per-GPU batch: global
+    128 over 4× 2080 Ti, README.md:138) and model-FLOPs utilization
+    against the chip's bf16 peak; FLOPs are counted analytically from the
+    matmul shapes (fwd ×3 for backward + one extra joint-out term for the
     rematerialized chunk recompute in rnnt_loss_from_joint).
+    train_step_b16_* keeps the round-1 B=16 pin for cross-round
+    comparability (B=16 under-fills the 128-row MXU on the LSTM
+    recurrence — see VALIDATION.md batch-scaling ladder).
   * server_256stream_*: server mode — 256 independent real-time streams
     batched into one dispatch per 75 ms chunk round, tokens fetched every
     round; aggregate sec-audio/sec and how many streams stay real-time.
@@ -262,7 +266,8 @@ def main():
     chunk_tp, chunk_ms = bench_streaming_per_chunk(params, cfg, feature_cfg)
     server_tp, server_ms, server_cap = bench_server_mode(
         params, cfg, feature_cfg)
-    step_ms, mfu, train_tp = bench_train_step(cfg)
+    step_ms, mfu, train_tp = bench_train_step(cfg, batch=32)
+    step16_ms, mfu16, train16_tp = bench_train_step(cfg, batch=16)
 
     baseline = 5.797  # reference PyTorch streaming (README.md:123-127)
     print(json.dumps({
@@ -280,6 +285,9 @@ def main():
             'train_step_ms': round(step_ms, 3),
             'train_step_mfu': round(mfu, 4),
             'train_audio_s_per_s': round(train_tp, 1),
+            'train_step_b16_ms': round(step16_ms, 3),
+            'train_step_b16_mfu': round(mfu16, 4),
+            'train_b16_audio_s_per_s': round(train16_tp, 1),
             'dispatch_floor_ms': round(dispatch_floor_ms, 3),
             'device_kind': jax.devices()[0].device_kind,
         },

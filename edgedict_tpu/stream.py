@@ -112,6 +112,50 @@ def make_chunk_step(params, cfg: T.TransducerConfig,
     return jax.jit(_make_chunk_step_fn(params, cfg, pipeline, unk_id))
 
 
+def stream_state_sharding(state, mesh, batch_axis='dp'):
+    """NamedSharding pytree for a StreamState: the stream (batch) axis is
+    sharded over `batch_axis`.  RNN-state leaves are (L, B, H) — batch on
+    axis 1; h_dec is (B, D) — batch on axis 0."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    def spec(leaf):
+        if leaf.ndim >= 3:
+            return NamedSharding(mesh, P(None, batch_axis))
+        return NamedSharding(mesh, P(batch_axis))
+
+    return jax.tree.map(spec, state)
+
+
+def make_chunk_step_sharded(params, cfg: T.TransducerConfig,
+                            pipeline: FeaturePipeline, chunk_samples: int,
+                            mesh, unk_id: Optional[int] = None,
+                            batch_axis='dp'):
+    """Multi-chip serving: the chunk step jitted over a device mesh with the
+    STREAM axis sharded over `batch_axis` — serving capacity scales with
+    chips (each chunk round is one dispatch; GSPMD splits the batched
+    encoder/joint/decoder math per shard, no cross-stream communication
+    exists so no collectives are emitted in the forward path).
+
+    The trace runs under rnn_ops.mesh_context so the Pallas LSTM/GRU
+    recurrence routes through shard_map per shard exactly as in the sharded
+    train step (ops/rnn.py:_pallas_eligible)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from edgedict_tpu.ops import rnn as rnn_ops
+
+    template = make_stream_state(params, cfg, batch=1)
+    state_shard = stream_state_sharding(template, mesh, batch_axis)
+    audio_shard = NamedSharding(mesh, P(batch_axis))
+    jitted = jax.jit(_make_chunk_step_fn(params, cfg, pipeline, unk_id),
+                     in_shardings=(None, state_shard, audio_shard))
+
+    def fn(params, state, audio):
+        with rnn_ops.mesh_context(mesh, batch_axis):
+            return jitted(params, state, audio)
+
+    return fn
+
+
 def make_chunk_group_step(params, cfg: T.TransducerConfig,
                           pipeline: FeaturePipeline, chunk_samples: int,
                           n_chunks: int, unk_id: Optional[int] = None):
@@ -303,27 +347,44 @@ class MultiStreamDecoder:
     chunk round — the batch dimension of the jitted chunk step carries the
     streams, so serving throughput scales with batch instead of paying the
     dispatch latency per stream.  (No reference equivalent: the reference
-    decoders are strictly single-stream.)"""
+    decoders are strictly single-stream.)
+
+    mesh: optional device mesh — the stream axis is sharded over the
+    mesh's `batch_axis`, scaling serving capacity linearly with chips
+    (streams are independent, so the forward path emits no collectives)."""
 
     def __init__(self, params, cfg, feature_cfg: FeatureConfig, tokenizer,
-                 n_streams, step_n_frame=2):
+                 n_streams, step_n_frame=2, mesh=None, batch_axis='dp'):
         assert not feature_cfg.pad_to_divisible
         self.params = params
         self.cfg = cfg
         self.tokenizer = tokenizer
         self.n = n_streams
+        self.mesh = mesh
+        self.batch_axis = batch_axis
         self.pipeline = FeaturePipeline(feature_cfg)
         self.win_size, self.hop_size = stream_chunk_geometry(
             feature_cfg.win_length, feature_cfg.hop_length,
             feature_cfg.downsample, step_n_frame)
-        self.chunk_step = make_chunk_step(
-            params, cfg, self.pipeline, self.win_size,
-            unk_id=getattr(tokenizer, 'unk_id', None))
+        unk = getattr(tokenizer, 'unk_id', None)
+        if mesh is not None:
+            assert n_streams % dict(mesh.shape)[batch_axis] == 0, (
+                n_streams, dict(mesh.shape))
+            self.chunk_step = make_chunk_step_sharded(
+                params, cfg, self.pipeline, self.win_size, mesh,
+                unk_id=unk, batch_axis=batch_axis)
+        else:
+            self.chunk_step = make_chunk_step(
+                params, cfg, self.pipeline, self.win_size, unk_id=unk)
         self.elapsed = []
         self.reset()
 
     def reset(self):
-        self.state = make_stream_state(self.params, self.cfg, self.n)
+        state = make_stream_state(self.params, self.cfg, self.n)
+        if self.mesh is not None:
+            state = jax.device_put(state, stream_state_sharding(
+                state, self.mesh, self.batch_axis))
+        self.state = state
 
     def reset_stream(self, i):
         """Reset one stream's state, leaving the others untouched."""

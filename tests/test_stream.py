@@ -183,3 +183,31 @@ def test_multistream_beam_matches_single_stream_beam():
     assert int(multi.beam.n_tok[0, 0]) == 0
     np.testing.assert_allclose(
         np.asarray(multi.enc_state[0][:, 0]), 0.0)
+
+
+def test_multistream_sharded_over_mesh_matches_unsharded():
+    """Server mode over a device mesh: streams sharded over 'dp' produce
+    exactly the unsharded decoder's output (multi-chip serving scale-out —
+    capacity is streams/chip × chips; streams are independent so the step
+    emits no collectives)."""
+    from edgedict_tpu.parallel import make_mesh
+    from edgedict_tpu.stream import MultiStreamDecoder
+    feature_cfg = FeatureConfig(
+        feature_type='logfbank', feature_size=3, n_fft=64, win_length=40,
+        hop_length=20, downsample=3, pad_to_divisible=False)
+    params = T.transducer_init(jax.random.PRNGKey(11), CFG)
+    mesh = make_mesh(dp=8)
+    n = 16
+    sharded = MultiStreamDecoder(params, CFG, feature_cfg, _Tok(),
+                                 n_streams=n, step_n_frame=2, mesh=mesh)
+    plain = MultiStreamDecoder(params, CFG, feature_cfg, _Tok(),
+                               n_streams=n, step_n_frame=2)
+    rng = np.random.RandomState(3)
+    audios = rng.randn(n, sharded.win_size * 3).astype(np.float32) * 0.5
+    for c in range(3):
+        chunk = audios[:, c * sharded.hop_size:
+                       c * sharded.hop_size + sharded.win_size]
+        assert sharded.decode(chunk) == plain.decode(chunk)
+        if c == 1:          # per-stream reset composes with the sharding
+            sharded.reset_stream(5)
+            plain.reset_stream(5)
