@@ -51,7 +51,10 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-ROWS = 128
+# Rows per MXU block: 128 fills the systolic array; 256 halves the grid
+# (fewer dw-accumulator VMEM revisits in the backward) at the cost of
+# larger per-block buffers.  Env-tunable for on-chip sweeps.
+ROWS = int(os.environ.get('EDGEDICT_JOINT_ROWS', '128'))
 
 
 def _interpret():

@@ -64,15 +64,10 @@ def _make_chunk_step_fn(params, cfg: T.TransducerConfig,
     """Unjitted chunk-step body (shared by the single-chunk and grouped
     variants)."""
 
-    def chunk_step(params, state, audio):
-        """audio (B, chunk) → (tokens (n_frames, B) int32, new_state).
-        Batched: B parallel independent streams per dispatch (B=1 is the
-        reference's single-stream decode; B>1 is server mode)."""
-        b = audio.shape[0]
-        lens = jnp.full((b,), audio.shape[1], jnp.int32)
-        xs, _ = pipeline(audio, lens, train=False)
-        enc_xs, enc_state = T.encoder_apply(
-            params['encoder'], cfg, xs, state.enc_state)
+    def frame_loop(params, state, enc_xs):
+        """Frame-synchronous greedy loop over encoder outputs (at most one
+        token per frame, <unk> re-argmax, prediction net advanced only on
+        non-blank — reference rnnt/stream.py:102-119)."""
 
         def frame(carry, h_enc_t):
             h_dec, dec_state = carry             # (B, D), ((L,B,H),(L,B,H))
@@ -97,10 +92,23 @@ def _make_chunk_step_fn(params, cfg: T.TransducerConfig,
         (h_dec, dec_state), tokens = jax.lax.scan(
             frame, (state.h_dec, state.dec_state),
             jnp.swapaxes(enc_xs, 0, 1))
+        return tokens, h_dec, dec_state
+
+    def chunk_step(params, state, audio):
+        """audio (B, chunk) → (tokens (n_frames, B) int32, new_state).
+        Batched: B parallel independent streams per dispatch (B=1 is the
+        reference's single-stream decode; B>1 is server mode)."""
+        b = audio.shape[0]
+        lens = jnp.full((b,), audio.shape[1], jnp.int32)
+        xs, _ = pipeline(audio, lens, train=False)
+        enc_xs, enc_state = T.encoder_apply(
+            params['encoder'], cfg, xs, state.enc_state)
+        tokens, h_dec, dec_state = frame_loop(params, state, enc_xs)
         new_state = StreamState(enc_state=enc_state, dec_state=dec_state,
                                 h_dec=h_dec)
         return tokens, new_state
 
+    chunk_step.frame_loop = frame_loop
     return chunk_step
 
 
@@ -159,23 +167,39 @@ def make_chunk_step_sharded(params, cfg: T.TransducerConfig,
 def make_chunk_group_step(params, cfg: T.TransducerConfig,
                           pipeline: FeaturePipeline, chunk_samples: int,
                           n_chunks: int, unk_id: Optional[int] = None):
-    """Jitted multi-chunk decode step: scans the single-chunk step over
-    `n_chunks` consecutive chunks in ONE dispatch.
+    """Jitted multi-chunk decode step: `n_chunks` consecutive chunks in ONE
+    dispatch, processed LAYER-MAJOR.
 
-    Math is identical to n_chunks sequential decode() calls (state is still
-    carried chunk→chunk inside the scan); this only amortizes the
-    host→device dispatch latency, trading it for n_chunks·hop of output
-    latency.  fn(params, state, chunks (n_chunks, chunk_samples)) →
-    (tokens (n_chunks, n_frames), new_state).
+    Math is identical to n_chunks sequential decode() calls: the chunks are
+    featurized as one batch, their frames concatenated along time, and the
+    encoder runs ONCE over the concatenated frames with the carried state —
+    the state-carrying chunked encoder equals the full-sequence encoder
+    exactly (pinned by tests/test_stream.py::test_chunked_encoder_equals_
+    full; TimeReduction boundaries align because every chunk contributes
+    the same even number of frames).  Versus scanning the 6-layer chunk
+    step chunk-by-chunk, this streams each layer's weights from HBM once
+    per BLOCK instead of once per chunk — at E6D2 scale (~100 MB of
+    encoder weights vs a 16 MB VMEM) that weight traffic dominated the
+    block time.  The frame-synchronous greedy loop then runs over all
+    n_chunks·f frames in one scan (identical recurrence).
+
+    Output latency is n_chunks·hop, as before.  fn(params, state,
+    chunks (n_chunks, chunk_samples)) → (tokens (n_chunks, f, 1),
+    new_state) — same shape contract as the old chunk-major scan.
     """
     step = _make_chunk_step_fn(params, cfg, pipeline, unk_id)
 
     def group_step(params, state, chunks):
-        def body(st, chunk):
-            tokens, st = step(params, st, chunk[None])
-            return st, tokens
-        state, tokens = jax.lax.scan(body, state, chunks)
-        return tokens, state
+        lens = jnp.full((n_chunks,), chunks.shape[1], jnp.int32)
+        xs, _ = pipeline(chunks, lens, train=False)   # (n_chunks, f, feat)
+        f = xs.shape[1]
+        xs = xs.reshape(1, n_chunks * f, -1)          # time-concat, B=1
+        enc_xs, enc_state = T.encoder_apply(
+            params['encoder'], cfg, xs, state.enc_state)
+        tokens, h_dec, dec_state = step.frame_loop(params, state, enc_xs)
+        new_state = StreamState(enc_state=enc_state, dec_state=dec_state,
+                                h_dec=h_dec)
+        return tokens.reshape(n_chunks, -1, 1), new_state
 
     return jax.jit(group_step)
 

@@ -211,3 +211,32 @@ def test_multistream_sharded_over_mesh_matches_unsharded():
         if c == 1:          # per-stream reset composes with the sharding
             sharded.reset_stream(5)
             plain.reset_stream(5)
+
+
+def test_block_decode_matches_sequential():
+    """Layer-major block decode (group step) == chunk-by-chunk decode:
+    same text, same carried state — including across a TimeReduction
+    (boundaries align because every chunk contributes the same even
+    number of frames)."""
+    from edgedict_tpu.stream import StreamingDecoder
+    cfg = T.TransducerConfig(
+        vocab_size=16, vocab_embed_size=8, input_size=9,
+        enc_hidden_size=16, enc_layers=2, enc_proj_size=12,
+        dec_hidden_size=16, dec_layers=1, dec_proj_size=12,
+        joint_size=16, enc_time_reductions=(0,))
+    feature_cfg = FeatureConfig(
+        feature_type='logfbank', feature_size=3, n_fft=64, win_length=40,
+        hop_length=20, downsample=3, pad_to_divisible=False)
+    params = T.transducer_init(jax.random.PRNGKey(13), cfg)
+    blocked = StreamingDecoder(params, cfg, feature_cfg, _Tok(),
+                               step_n_frame=2, block_chunks=4)
+    seq = StreamingDecoder(params, cfg, feature_cfg, _Tok(),
+                           step_n_frame=2)
+    rng = np.random.RandomState(5)
+    audio = rng.randn(blocked.win_size + 7 * blocked.hop_size
+                      ).astype(np.float32) * 0.5
+    assert blocked.decode_wav(audio) == seq.decode_wav(audio)
+    for a, b in zip(jax.tree.leaves(blocked.state),
+                    jax.tree.leaves(seq.state)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)
