@@ -231,12 +231,21 @@ def spec_augment(key, feat, t_mask, t_num, f_mask, f_num):
     return jnp.where(keep, feat, 0.0)
 
 
-def time_warp(key, feat, warp_param=80):
+def time_warp(key, feat, warp_param=80, method='linear'):
     """SpecAugment time warping on (B, T, F): a random anchor in
-    [W, T−W) is displaced by w ~ U[−W, W] and the time axis is piecewise-
-    linearly resampled (the reference's legacy sparse_image_warp pipeline,
-    augmentation.py:7-30 + sparse_img_wrap.py, reduced to the 1-D warp the
-    SpecAugment paper actually uses — jittable, no spline solve)."""
+    [W, T−W) is displaced by w ~ U[−W, W].
+
+    method='linear' (default, production): the time axis is piecewise-
+    linearly resampled — the 1-D warp the SpecAugment paper actually
+    uses; jittable, no spline solve.
+    method='spline': the reference's legacy 2-D polyharmonic
+    sparse-image-warp (augmentation.py:7-30 + sparse_img_wrap.py),
+    rebuilt jittable in ops/image_warp.py (see that module's docstring
+    for the two documented deviations from the reference's degenerate
+    numerics)."""
+    if method == 'spline':
+        from edgedict_tpu.ops.image_warp import time_warp_spline
+        return time_warp_spline(key, feat, warp_param=warp_param)
     b, t, f = feat.shape
     if t <= 2 * warp_param + 1:
         return feat
