@@ -13,37 +13,114 @@ export consumers.
 """
 
 import os
+import queue
 import re
+import threading
 
 import jax
 import numpy as np
 from flax import serialization
 
 
-def _to_host(tree):
+def _to_host(tree, copy=False):
+    """Device→host snapshot.  copy=True forces a copy even for arrays
+    already on the host (a background write must be isolated from the
+    caller mutating its buffers afterwards; np.asarray is zero-copy for
+    numpy inputs)."""
+    if copy:
+        return jax.tree.map(lambda x: np.array(x), tree)
     return jax.tree.map(lambda x: np.asarray(x), tree)
 
 
+def _write_payload(payload, path):
+    tmp = path + '.tmp'
+    with open(tmp, 'wb') as f:
+        f.write(serialization.to_bytes(payload))
+    os.replace(tmp, path)
+
+
 def save_checkpoint(logdir, step, params, opt_state=None, sched_state=None,
-                    extra=None):
-    """Write logs/<name>/models/<step>.ckpt.  Returns the path."""
+                    extra=None, background=False):
+    """Write logs/<name>/models/<step>.ckpt.  Returns the path.
+
+    background=True: the device→host fetch still happens synchronously
+    (the values must be snapshotted before the next train step's donated
+    buffers invalidate them), but msgpack serialization + the disk write
+    — the slow part for a few-hundred-MB optimizer state — move to a
+    single shared writer thread.  Call `wait_for_checkpoints()` before
+    reading the file or exiting."""
     models_dir = os.path.join(logdir, 'models')
     os.makedirs(models_dir, exist_ok=True)
     import json as _json
     payload = {
         'step': int(step),
-        'model': _to_host(params),
-        'optim': _to_host(opt_state) if opt_state is not None else None,
+        'model': _to_host(params, copy=background),
+        'optim': (_to_host(opt_state, copy=background)
+                  if opt_state is not None else None),
         'sched': sched_state,
         # JSON-encoded so the serialized tree structure is shape-stable
         'extra': _json.dumps(extra) if extra is not None else '',
     }
     path = os.path.join(models_dir, f'{int(step)}.ckpt')
-    tmp = path + '.tmp'
-    with open(tmp, 'wb') as f:
-        f.write(serialization.to_bytes(payload))
-    os.replace(tmp, path)
+    if background:
+        _writer().submit(payload, path)
+    else:
+        _write_payload(payload, path)
     return path
+
+
+class _CheckpointWriter:
+    """One daemon thread draining a queue of (payload, path) writes.
+    Exceptions are re-raised on the next submit() or wait() so a failing
+    disk never fails silently (SURVEY §5 failure-detection policy)."""
+
+    def __init__(self):
+        self._q = queue.Queue()
+        self._error = None
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def _run(self):
+        while True:
+            payload, path = self._q.get()
+            try:
+                _write_payload(payload, path)
+            except BaseException as e:        # noqa: BLE001
+                self._error = e
+            finally:
+                self._q.task_done()
+
+    def _check(self):
+        if self._error is not None:
+            e, self._error = self._error, None
+            raise RuntimeError('background checkpoint write failed') from e
+
+    def submit(self, payload, path):
+        self._check()
+        self._q.put((payload, path))
+
+    def wait(self):
+        self._q.join()
+        self._check()
+
+
+_WRITER = None
+_WRITER_LOCK = threading.Lock()
+
+
+def _writer():
+    global _WRITER
+    with _WRITER_LOCK:
+        if _WRITER is None:
+            _WRITER = _CheckpointWriter()
+        return _WRITER
+
+
+def wait_for_checkpoints():
+    """Block until all background checkpoint writes are durable (and
+    surface any write error)."""
+    if _WRITER is not None:
+        _WRITER.wait()
 
 
 def load_checkpoint(path, params_template, opt_state_template=None):

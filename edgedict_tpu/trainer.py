@@ -21,6 +21,7 @@ import jax.numpy as jnp
 from edgedict_tpu import optim
 from edgedict_tpu.checkpoint import (
     checkpoint_path, latest_step, load_checkpoint, save_checkpoint,
+    wait_for_checkpoints,
     snapshot_flags)
 from edgedict_tpu.data import (
     BucketSpec, CommonVoice, DataLoader, Librispeech, MergedDataset,
@@ -217,7 +218,10 @@ class Trainer:
                            f'lr {self._lr(step):.2e} '
                            f'({time.time() - t0:.1f}s)')
                 if step % F.save_step == 0:
-                    self.save()
+                    # periodic saves: device->host fetch is synchronous,
+                    # serialization + disk write happen on the writer
+                    # thread so the step loop keeps the chip busy
+                    self.save(background=True)
                 if step % F.eval_step == 0 and self.eval_loader:
                     val_loss, val_wer = self.evaluate()
                     if self.sched is not None:
@@ -239,6 +243,7 @@ class Trainer:
                 if step >= total:
                     break
         self.save()
+        wait_for_checkpoints()
 
     # ------------------------------------------------------------------
     def evaluate(self, max_batches=None):
@@ -275,7 +280,7 @@ class Trainer:
         return self.evaluate(max_batches=1)
 
     # ------------------------------------------------------------------
-    def save(self):
+    def save(self, background=False):
         step = int(self.state.step)
         if jax.process_count() > 1 and jax.process_index() != 0:
             # params are replicated — process 0 writes for everyone
@@ -284,9 +289,11 @@ class Trainer:
             self.logdir, step, self.state.params, self.state.opt_state,
             self.sched.state_dict() if self.sched else None,
             extra={'rng': np.asarray(self._rng).tolist(),
-                   'best_wer': self._best_wer})
+                   'best_wer': self._best_wer},
+            background=background)
 
     def load(self, step=None):
+        wait_for_checkpoints()        # in-session resume sees durable files
         step = step if step is not None else latest_step(self.logdir)
         if step is None:
             raise FileNotFoundError(f'no checkpoints under {self.logdir}')

@@ -1,0 +1,60 @@
+"""Background (async) checkpoint writer."""
+
+import os
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from edgedict_tpu.checkpoint import (
+    load_checkpoint, save_checkpoint, wait_for_checkpoints)
+
+
+def _params():
+    return {'w': jnp.arange(12.0).reshape(3, 4), 'b': jnp.ones((4,))}
+
+
+def test_background_save_matches_sync(tmp_path):
+    params = _params()
+    p_sync = save_checkpoint(str(tmp_path / 'a'), 3, params,
+                             extra={'k': 1})
+    p_bg = save_checkpoint(str(tmp_path / 'b'), 3, params,
+                           extra={'k': 1}, background=True)
+    wait_for_checkpoints()
+    assert open(p_sync, 'rb').read() == open(p_bg, 'rb').read()
+    payload = load_checkpoint(p_bg, params)
+    np.testing.assert_allclose(payload['model']['w'],
+                               np.asarray(params['w']))
+    assert payload['extra'] == {'k': 1}
+
+
+def test_background_save_snapshot_isolated_from_later_mutation(tmp_path):
+    """The device→host snapshot happens at submit time: mutating the
+    host-side source arrays afterwards must not corrupt the write."""
+    params = {'w': np.zeros((4, 4), np.float32)}
+    path = save_checkpoint(str(tmp_path), 1, params, background=True)
+    params['w'] += 7.0                      # simulate the next train step
+    wait_for_checkpoints()
+    payload = load_checkpoint(path, {'w': np.empty((4, 4), np.float32)})
+    np.testing.assert_allclose(payload['model']['w'], 0.0)
+
+
+def test_background_write_error_propagates(tmp_path, monkeypatch):
+    import edgedict_tpu.checkpoint as C
+
+    real = C._write_payload
+
+    def boom(payload, path):
+        if os.sep + 'x' + os.sep in path:
+            raise OSError('disk on fire')
+        return real(payload, path)
+
+    monkeypatch.setattr(C, '_write_payload', boom)
+    save_checkpoint(str(tmp_path / 'x'), 1, _params(), background=True)
+    with pytest.raises(RuntimeError, match='background checkpoint'):
+        wait_for_checkpoints()
+    # the writer recovers after surfacing the error
+    p = save_checkpoint(str(tmp_path / 'y'), 2, _params(),
+                        background=True)
+    wait_for_checkpoints()
+    assert os.path.exists(p)
