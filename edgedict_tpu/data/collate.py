@@ -15,8 +15,10 @@ batching, threaded prefetch (replaces torch DataLoader worker processes —
 the heavy work, featurization, moved on-device).
 """
 
+import os
 import queue
 import threading
+from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
 
@@ -90,7 +92,7 @@ class DataLoader:
 
     def __init__(self, dataset, batch_size, shuffle=True, bucket=None,
                  seed=0, drop_last=True, sort_pool=8, prefetch=2,
-                 collate_fn=None, audio_key='audio'):
+                 collate_fn=None, audio_key='audio', workers=None):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -100,6 +102,14 @@ class DataLoader:
         self.sort_pool = max(1, sort_pool)
         self.prefetch = prefetch
         self.audio_key = audio_key
+        # parallel sample fetch: audio decode is the loader's hot path and
+        # the native FLAC decoder (~1040 audio-s/s/thread) cannot feed the
+        # ~8100 audio-s/s train step single-threaded; the ctypes decode
+        # releases the GIL so a thread pool scales it (reference: torch
+        # DataLoader num_workers processes, rnnt/dataset.py via
+        # cli/baseline.py DataLoader(num_workers=...))
+        self.workers = (workers if workers is not None
+                        else min(8, os.cpu_count() or 1))
         self.collate_fn = collate_fn or (
             lambda s: seq_collate(s, bucket=self.bucket,
                                   audio_key=self.audio_key))
@@ -134,12 +144,26 @@ class DataLoader:
             rng.shuffle(batches)
         return batches
 
+    def _fetcher(self):
+        """(pool, fetch) — fetch(idxs) loads a batch's samples, in order,
+        decoding on `workers` threads when workers > 1."""
+        if self.workers > 1:
+            pool = ThreadPoolExecutor(self.workers)
+            return pool, lambda idxs: list(
+                pool.map(self.dataset.__getitem__, idxs))
+        return None, lambda idxs: [self.dataset[i] for i in idxs]
+
     def __iter__(self):
         batches = self._batches_indices()
         self.epoch += 1
+        pool, fetch = self._fetcher()
         if self.prefetch <= 0:
-            for idxs in batches:
-                yield self.collate_fn([self.dataset[i] for i in idxs])
+            try:
+                for idxs in batches:
+                    yield self.collate_fn(fetch(idxs))
+            finally:
+                if pool is not None:
+                    pool.shutdown(wait=False)
             return
 
         q = queue.Queue(maxsize=self.prefetch)
@@ -149,7 +173,7 @@ class DataLoader:
         def worker():
             try:
                 for idxs in batches:
-                    q.put(self.collate_fn([self.dataset[i] for i in idxs]))
+                    q.put(self.collate_fn(fetch(idxs)))
             except BaseException as e:     # surface in the consumer
                 error.append(e)
             finally:
@@ -157,10 +181,14 @@ class DataLoader:
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is stop:
-                if error:
-                    raise error[0]
-                break
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is stop:
+                    if error:
+                        raise error[0]
+                    break
+                yield item
+        finally:
+            if pool is not None:
+                pool.shutdown(wait=False)
