@@ -50,6 +50,8 @@ if _bucket is not None:
 if _flac is not None:
     _flac.flac_probe.restype = ctypes.c_int
     _flac.flac_decode.restype = ctypes.c_int64
+    if hasattr(_flac, 'flac_decode_mono_f32'):
+        _flac.flac_decode_mono_f32.restype = ctypes.c_int64
 
 
 if _bpe_tr is not None:
@@ -124,6 +126,15 @@ def read_flac(path):
     if ret != 0:
         raise ValueError(f'not a FLAC stream: {path}')
     n = int(total.value) or len(data) * 8 // max(bps.value, 1)
+    if hasattr(_flac, 'flac_decode_mono_f32'):
+        # native float32-mono path: decode + channel mixdown + scaling in C
+        out = np.zeros((n,), np.float32)
+        frames = _flac.flac_decode_mono_f32(
+            _ptr(data, ctypes.c_uint8), len(data),
+            _ptr(out, ctypes.c_float), n)
+        if frames < 0:
+            raise ValueError(f'FLAC decode failed: {path}')
+        return out[:frames], int(sr.value)
     out = np.zeros((n * ch.value,), np.int32)
     frames = _flac.flac_decode(_ptr(data, ctypes.c_uint8), len(data),
                                _ptr(out, ctypes.c_int32), n)
