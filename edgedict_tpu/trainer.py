@@ -136,7 +136,8 @@ class Trainer:
         )
         self.loader = DataLoader(
             self.train_dataset, FLAGS.batch_size, shuffle=True,
-            bucket=self.bucket, drop_last=True)
+            bucket=self.bucket, drop_last=True,
+            workers=getattr(FLAGS, 'num_workers', None) or None)
         self.eval_loader = DataLoader(
             self.eval_dataset, FLAGS.eval_batch_size, shuffle=False,
             bucket=self.bucket, drop_last=True,
@@ -151,6 +152,7 @@ class Trainer:
                 pass
             snapshot_flags(FLAGS, self.logdir)
         self._rng = jax.random.PRNGKey(1234)
+        self._skip_batches = 0
         self._best_wer = float('inf')
 
     # ------------------------------------------------------------------
@@ -201,6 +203,9 @@ class Trainer:
         profile_dir = getattr(F, 'profile_dir', None)
         while step < total:
             for batch in self.loader:
+                if self._skip_batches:
+                    self._skip_batches -= 1     # resume: fast-forward to
+                    continue                    # the checkpointed position
                 # jax.profiler trace of steps 10-13 (SURVEY §5 tracing)
                 if profile_dir and step == 10:
                     jax.profiler.start_trace(profile_dir)
@@ -316,4 +321,11 @@ class Trainer:
             self._rng = jnp.asarray(extra['rng'], jnp.uint32)
         if 'best_wer' in extra and extra['best_wer'] is not None:
             self._best_wer = float(extra['best_wer'])
+        # realign the data stream so a resumed run replays the SAME batch
+        # sequence an uninterrupted run would have seen: restore the
+        # epoch counter (per-epoch shuffle seed) and skip the batches the
+        # checkpointed run already consumed within its current epoch
+        n = max(len(self.loader), 1)
+        self.loader.epoch = step // n
+        self._skip_batches = step % n
         return step
