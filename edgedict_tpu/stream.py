@@ -273,12 +273,17 @@ class MultiStreamBeamDecoder:
     beam search is offline and single-sequence, models.py:121-125.)
 
     decode(frames) returns the CURRENT best hypothesis text per stream
-    (beam search may revise earlier output, so callers re-render)."""
+    (beam search may revise earlier output, so callers re-render).
+
+    mesh: optional device mesh — streams shard over the mesh's
+    `batch_axis` exactly as in MultiStreamDecoder (beam tensors carry the
+    stream axis at 0; dec/lm RNN states at 1); per-stream beams are
+    independent, so the step emits no collectives."""
 
     def __init__(self, params, cfg, feature_cfg: FeatureConfig, tokenizer,
                  n_streams, step_n_frame=2, beam_width=4,
                  max_sym_per_frame=2, max_tokens=200, lm=None,
-                 merge_prefixes=False):
+                 merge_prefixes=False, mesh=None, batch_axis='dp'):
         assert not feature_cfg.pad_to_divisible
         from edgedict_tpu.models.beam_search import (
             best_hypothesis, make_beam_machinery)
@@ -286,6 +291,8 @@ class MultiStreamBeamDecoder:
         self.cfg = cfg
         self.tokenizer = tokenizer
         self.n = n_streams
+        self.mesh = mesh
+        self.batch_axis = batch_axis
         self.pipeline = FeaturePipeline(feature_cfg)
         self.win_size, self.hop_size = stream_chunk_geometry(
             feature_cfg.win_length, feature_cfg.hop_length,
@@ -309,13 +316,41 @@ class MultiStreamBeamDecoder:
             toks, n_tok, logp = best_hypothesis(beam)
             return enc_state, beam, toks, n_tok, logp
 
-        self.chunk_step = jax.jit(chunk_step)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from edgedict_tpu.ops import rnn as rnn_ops
+            assert n_streams % dict(mesh.shape)[batch_axis] == 0, (
+                n_streams, dict(mesh.shape))
+            ax0 = NamedSharding(mesh, P(batch_axis))
+            ax1 = NamedSharding(mesh, P(None, batch_axis))
+            self._enc_shard = jax.tree.map(
+                lambda _: ax1, T.encoder_zero_state(cfg, 1))
+            tmpl = self._init_beam()
+            self._beam_shard = jax.tree.map(lambda _: ax0, tmpl)._replace(
+                dec_state=jax.tree.map(lambda _: ax1, tmpl.dec_state),
+                lm_state=(jax.tree.map(lambda _: ax1, tmpl.lm_state)
+                          if tmpl.lm_state is not None else None))
+            jitted = jax.jit(chunk_step, in_shardings=(
+                None, self._enc_shard, self._beam_shard, ax0))
+
+            def fn(params, enc_state, beam, audio):
+                with rnn_ops.mesh_context(mesh, batch_axis):
+                    return jitted(params, enc_state, beam, audio)
+
+            self.chunk_step = fn
+        else:
+            self.chunk_step = jax.jit(chunk_step)
         self.elapsed = []
         self.reset()
 
     def reset(self):
         self.enc_state = T.encoder_zero_state(self.cfg, self.n)
         self.beam = self._init_beam()
+        if self.mesh is not None:
+            self.enc_state = jax.device_put(self.enc_state,
+                                            self._enc_shard)
+            self.beam = jax.device_put(self.beam, self._beam_shard)
 
     def reset_stream(self, i):
         """Reset one stream's encoder state and beam, leaving the rest."""

@@ -240,3 +240,30 @@ def test_block_decode_matches_sequential():
                     jax.tree.leaves(seq.state)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-5)
+
+
+def test_multistream_beam_sharded_over_mesh_matches_unsharded():
+    """Beam server mode over a device mesh == unsharded beam server mode
+    (streams at axis 0, dec/lm RNN states at axis 1; independent beams →
+    no collectives)."""
+    from edgedict_tpu.parallel import make_mesh
+    from edgedict_tpu.stream import MultiStreamBeamDecoder
+    feature_cfg = FeatureConfig(
+        feature_type='logfbank', feature_size=3, n_fft=64, win_length=40,
+        hop_length=20, downsample=3, pad_to_divisible=False)
+    params = T.transducer_init(jax.random.PRNGKey(17), CFG)
+    mesh = make_mesh(dp=8)
+    n = 16
+    kw = dict(n_streams=n, step_n_frame=2, beam_width=3)
+    sharded = MultiStreamBeamDecoder(params, CFG, feature_cfg, _Tok(),
+                                     mesh=mesh, **kw)
+    plain = MultiStreamBeamDecoder(params, CFG, feature_cfg, _Tok(), **kw)
+    rng = np.random.RandomState(9)
+    audios = rng.randn(n, sharded.win_size * 3).astype(np.float32) * 0.5
+    for c in range(3):
+        chunk = audios[:, c * sharded.hop_size:
+                       c * sharded.hop_size + sharded.win_size]
+        assert sharded.decode(chunk) == plain.decode(chunk)
+        if c == 1:
+            sharded.reset_stream(3)
+            plain.reset_stream(3)
