@@ -14,8 +14,11 @@ import numpy as np
 
 def chain_time(fn, args, lo=3, hi=13, reps=3):
     """Per-call device time by slope.  Calls are issued back-to-back with
-    one block at the end: the device executes them serially, so the lo→hi
-    difference isolates per-call device time from the dispatch floor."""
+    one VALUE fetch at the end (np.asarray of a leaf): the device executes
+    them serially, so the lo→hi difference isolates per-call device time
+    from the dispatch floor.  A value fetch — not block_until_ready — is
+    load-bearing: the axon tunnel has been observed acknowledging
+    block_until_ready before execution finishes (see harness_canary)."""
     import jax
 
     def run(n):
@@ -23,7 +26,7 @@ def chain_time(fn, args, lo=3, hi=13, reps=3):
         o = None
         for _ in range(n):
             o = fn(*args)
-        jax.block_until_ready(o)
+        np.asarray(jax.tree.leaves(o)[0]).ravel()[:1]
         return time.time() - t0
 
     run(2)
@@ -32,9 +35,33 @@ def chain_time(fn, args, lo=3, hi=13, reps=3):
     return (t_hi - t_lo) / (hi - lo) * 1e3
 
 
+def harness_canary(expect_ms=0.73, tol=0.25):
+    """Validate the timing harness against physics before trusting any
+    number it prints: a bare bf16 4096³ matmul takes ~0.73 ms at the v5e
+    197 Tbf16/s peak.  A reading far off that bound means the tunnel is
+    misbehaving (it has been observed dropping block_until_ready
+    semantics and, after hangs, returning sub-physical timings) — every
+    downstream measurement in that session is then suspect."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(0)
+    a = jnp.asarray(rng.randn(4096, 4096), jnp.bfloat16)
+    b = jnp.asarray(rng.randn(4096, 4096), jnp.bfloat16)
+    mm = jax.jit(lambda x, y: (x @ y).astype(jnp.bfloat16))
+    ms = chain_time(lambda x: mm(x, b), (a,))
+    ok = abs(ms - expect_ms) / expect_ms <= tol
+    verdict = 'OK' if ok else "SUSPECT: do not trust this session's timings"
+    print(f'harness canary: 4096^3 matmul {ms:.3f} ms '
+          f'(expect ~{expect_ms}) -> {verdict}')
+    return ok
+
+
 def main():
     import jax
     import jax.numpy as jnp
+
+    harness_canary()
 
     from edgedict_tpu.models import transducer as T
     from edgedict_tpu.ops.rnnt_loss import rnnt_loss_from_joint
