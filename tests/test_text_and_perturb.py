@@ -116,3 +116,32 @@ def test_dataloader_propagates_worker_errors():
     with _pytest.raises(RuntimeError, match='corrupt sample'):
         for _ in loader:
             pass
+
+
+def test_dataloader_workers_deterministic():
+    """Thread-pool sample decode yields exactly the single-threaded
+    batches (order preserved by Executor.map), for every worker count."""
+    from edgedict_tpu.data import DataLoader
+
+    class DS:
+        data = [{'audio_length': i % 5} for i in range(16)]
+
+        def __len__(self):
+            return 16
+
+        def __getitem__(self, i):
+            return (np.full(8, float(i), np.float32),
+                    np.asarray([i + 4], np.int32))
+
+    def batches(workers):
+        loader = DataLoader(DS(), batch_size=4, shuffle=True, seed=3,
+                            workers=workers)
+        return [{k: v.copy() for k, v in b.items()} for b in loader]
+
+    ref = batches(1)
+    for w in (2, 4):
+        got = batches(w)
+        assert len(got) == len(ref)
+        for a, b in zip(ref, got):
+            for k in a:
+                np.testing.assert_array_equal(a[k], b[k])
