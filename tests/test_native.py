@@ -153,3 +153,33 @@ def test_native_bpe_trainer_matches_python():
     assert cc.vocab == py.vocab
     s = 'that thin cat chatted in the cart'
     assert cc.encode(s) == py.encode(s)
+
+
+def test_flac_decoder_rejects_garbage():
+    """Corrupt input surfaces as a clean error, never a crash or silent
+    wrong audio (the reference aborted the whole run on a corrupt file,
+    rnnt/dataset.py:97-101; here the loader surfaces the exception)."""
+    import pytest
+
+    from edgedict_tpu import native
+    if not native.flac_available():
+        pytest.skip('native flac decoder not built')
+    import tempfile
+
+    with tempfile.NamedTemporaryFile(suffix='.flac') as f:
+        f.write(b'not a flac stream at all' * 10)
+        f.flush()
+        with pytest.raises(ValueError, match='FLAC'):
+            native.read_flac(f.name)
+
+    # truncated real stream: header parses, frames cut off mid-way ->
+    # decode returns what it could or errors, but never crashes
+    real = open('/root/reference/3729-6852-0035.flac', 'rb').read()
+    with tempfile.NamedTemporaryFile(suffix='.flac') as f:
+        f.write(real[:len(real) // 2])
+        f.flush()
+        try:
+            audio, sr = native.read_flac(f.name)
+            assert sr == 16000 and 0 < len(audio) < 330400
+        except ValueError:
+            pass
