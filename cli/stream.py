@@ -73,7 +73,8 @@ def build_stream_decoder(FLAGS):
             params, cfg, feature_cfg, tokenizer,
             step_n_frame=FLAGS.step_n_frame,
             beam_width=FLAGS.beam_width,
-            merge_prefixes=getattr(FLAGS, 'merge_prefixes', False))
+            merge_prefixes=getattr(FLAGS, 'merge_prefixes', False),
+            block_chunks=getattr(FLAGS, 'block_chunks', 1))
     return StreamingDecoder(params, cfg, feature_cfg, tokenizer,
                             step_n_frame=FLAGS.step_n_frame,
                             block_chunks=getattr(FLAGS, 'block_chunks', 1))

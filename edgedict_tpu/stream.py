@@ -214,7 +214,8 @@ class StreamingBeamDecoder:
 
     def __init__(self, params, cfg, feature_cfg: FeatureConfig, tokenizer,
                  step_n_frame=2, beam_width=4, max_sym_per_frame=2,
-                 max_tokens=200, lm=None, merge_prefixes=False):
+                 max_tokens=200, lm=None, merge_prefixes=False,
+                 block_chunks=1):
         assert not feature_cfg.pad_to_divisible
         from edgedict_tpu.models.beam_search import (
             best_hypothesis, make_beam_machinery)
@@ -231,9 +232,7 @@ class StreamingBeamDecoder:
             lm=lm, merge_prefixes=merge_prefixes)
         pipeline = self.pipeline
 
-        def chunk_step(params, enc_state, beam, audio):
-            lens = jnp.full((1,), audio.shape[1], jnp.int32)
-            xs, _ = pipeline(audio, lens, train=False)
+        def run_frames(params, enc_state, beam, xs):
             enc_xs, enc_state = T.encoder_apply(
                 params['encoder'], cfg, xs, enc_state)
             valid = jnp.ones((enc_xs.shape[1], 1), bool)
@@ -243,26 +242,84 @@ class StreamingBeamDecoder:
             toks, n_tok, logp = best_hypothesis(beam)
             return enc_state, beam, toks[0], n_tok[0], logp[0]
 
+        def chunk_step(params, enc_state, beam, audio):
+            lens = jnp.full((1,), audio.shape[1], jnp.int32)
+            xs, _ = pipeline(audio, lens, train=False)
+            return run_frames(params, enc_state, beam, xs)
+
+        def group_step(params, enc_state, beam, chunks):
+            # layer-major block mode, exactly as the greedy group step:
+            # featurize the block as one batch, concat frames along time,
+            # encoder ONCE (bit-equal to chunk-by-chunk), beam frame loop
+            # over all frames in one scan
+            n_chunks = chunks.shape[0]
+            lens = jnp.full((n_chunks,), chunks.shape[1], jnp.int32)
+            xs, _ = pipeline(chunks, lens, train=False)
+            xs = xs.reshape(1, n_chunks * xs.shape[1], -1)
+            return run_frames(params, enc_state, beam, xs)
+
         self.chunk_step = jax.jit(chunk_step)
+        self.block_chunks = max(1, block_chunks)
+        self.group_step = (jax.jit(group_step)
+                           if self.block_chunks > 1 else None)
+        self.elapsed = []
         self.reset()
 
     def reset(self):
         self.enc_state = T.encoder_zero_state(self.cfg, 1)
         self.beam = self._init_beam()
 
-    def decode(self, frame: np.ndarray) -> str:
-        """Returns the current best FULL hypothesis (may revise earlier
-        chunks' output)."""
-        audio = jnp.asarray(frame, jnp.float32)[None, :]
-        self.enc_state, self.beam, toks, n_tok, _ = self.chunk_step(
-            self.params, self.enc_state, self.beam, audio)
-        toks = np.asarray(toks)[:int(n_tok)]
+    def _render(self, toks, n_tok):
         out = []
-        for t in toks:
+        for t in np.asarray(toks)[:int(n_tok)]:
             if t > UNK:
                 out.append(self.tokenizer.id_to_token(int(t))
                            .replace('</w>', ' '))
         return ''.join(out)
+
+    def decode(self, frame: np.ndarray) -> str:
+        """Returns the current best FULL hypothesis (may revise earlier
+        chunks' output)."""
+        start = time.time()
+        audio = jnp.asarray(frame, jnp.float32)[None, :]
+        self.enc_state, self.beam, toks, n_tok, _ = self.chunk_step(
+            self.params, self.enc_state, self.beam, audio)
+        text = self._render(toks, n_tok)
+        self.elapsed.append(time.time() - start)
+        return text
+
+    def decode_block(self, chunks: np.ndarray) -> str:
+        """Advance the beam over `block_chunks` consecutive chunks in ONE
+        dispatch (same math as sequential decode() calls); returns the
+        current best full hypothesis."""
+        assert self.group_step is not None
+        start = time.time()
+        self.enc_state, self.beam, toks, n_tok, _ = self.group_step(
+            self.params, self.enc_state, self.beam,
+            jnp.asarray(chunks, jnp.float32))
+        text = self._render(toks, n_tok)
+        self.elapsed.append(time.time() - start)
+        return text
+
+    def decode_wav(self, audio: np.ndarray) -> str:
+        """Offline one-shot decode (cli.stream --path with beam search):
+        feeds every chunk — block-grouped when block_chunks > 1 — and
+        returns the final best hypothesis."""
+        self.reset()
+        n = max((len(audio) - self.win_size) // self.hop_size + 1, 0)
+        chunks = np.stack([
+            audio[i * self.hop_size:i * self.hop_size + self.win_size]
+            for i in range(n)]) if n else np.zeros((0, self.win_size),
+                                                   np.float32)
+        text = ''
+        i = 0
+        if self.group_step is not None:
+            while i + self.block_chunks <= n:
+                text = self.decode_block(chunks[i:i + self.block_chunks])
+                i += self.block_chunks
+        for j in range(i, n):
+            text = self.decode(chunks[j])
+        return text
 
 
 class MultiStreamBeamDecoder:

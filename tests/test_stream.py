@@ -267,3 +267,26 @@ def test_multistream_beam_sharded_over_mesh_matches_unsharded():
         if c == 1:
             sharded.reset_stream(3)
             plain.reset_stream(3)
+
+
+def test_beam_decode_wav_and_block_match_sequential():
+    """StreamingBeamDecoder.decode_wav works (the cli.stream --path
+    --beam_width path) and block-grouped beam advance equals sequential
+    chunk decode."""
+    from edgedict_tpu.stream import StreamingBeamDecoder
+    feature_cfg = FeatureConfig(
+        feature_type='logfbank', feature_size=3, n_fft=64, win_length=40,
+        hop_length=20, downsample=3, pad_to_divisible=False)
+    params = T.transducer_init(jax.random.PRNGKey(21), CFG)
+    kw = dict(step_n_frame=2, beam_width=3)
+    blocked = StreamingBeamDecoder(params, CFG, feature_cfg, _Tok(),
+                                   block_chunks=4, **kw)
+    seq = StreamingBeamDecoder(params, CFG, feature_cfg, _Tok(), **kw)
+    rng = np.random.RandomState(11)
+    audio = rng.randn(blocked.win_size + 7 * blocked.hop_size
+                      ).astype(np.float32) * 0.5
+    assert blocked.decode_wav(audio) == seq.decode_wav(audio)
+    np.testing.assert_allclose(np.asarray(blocked.beam.logp),
+                               np.asarray(seq.beam.logp), rtol=1e-5,
+                               atol=1e-5)
+    assert len(blocked.elapsed) < len(seq.elapsed)   # fewer dispatches
