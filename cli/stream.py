@@ -106,6 +106,12 @@ def main(argv):
         import sounddevice as sd
         blank_count = 0
         buf = np.zeros(0, np.float32)
+        # greedy decode() emits NEW text per chunk (append-print); beam
+        # decode() returns the CURRENT FULL hypothesis, which may revise
+        # earlier output — re-render the line and count 'no change' as
+        # silence instead of 'empty'
+        is_beam = hasattr(decoder, 'beam')
+        last = ['']
 
         def callback(indata, frames, t, status):
             nonlocal blank_count, buf
@@ -113,15 +119,22 @@ def main(argv):
             while len(buf) >= decoder.win_size:
                 text = decoder.decode(buf[:decoder.win_size])
                 buf = buf[decoder.hop_size:]
-                if text:
-                    blank_count = 0
+                progressed = text != last[0] if is_beam else bool(text)
+                if is_beam and progressed:
+                    pad = max(len(last[0]) - len(text), 0)
+                    print('\r' + text + ' ' * pad, end='', flush=True)
+                elif progressed:
                     print(text, end='', flush=True)
+                last[0] = text
+                if progressed:
+                    blank_count = 0
                 else:
                     blank_count += 1
                     if blank_count >= FLAGS.reset_after:
                         print('\n[Background]')
                         decoder.reset()
                         blank_count = 0
+                        last[0] = ''
 
         with sd.InputStream(samplerate=16000, channels=1,
                             callback=callback):

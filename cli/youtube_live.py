@@ -60,6 +60,8 @@ def main(argv):
     buf = np.zeros(0, np.float32)
     blank_count = 0
     chunks_done = 0
+    is_beam = hasattr(decoder, 'beam')   # beam returns the FULL hypothesis
+    last = ''
     for frame in container.decode(audio_stream):
         for r in resampler.resample(frame) or []:
             pcm = r.to_ndarray().reshape(-1).astype(np.float32) / 32768.0
@@ -72,15 +74,22 @@ def main(argv):
                 continue
             text = decoder.decode(chunk)
             chunks_done += 1
-            if text:
-                blank_count = 0
+            progressed = text != last if is_beam else bool(text)
+            if is_beam and progressed:
+                print('\r' + text + ' ' * max(len(last) - len(text), 0),
+                      end='', flush=True)
+            elif progressed:
                 print(text, end='', flush=True)
+            last = text
+            if progressed:
+                blank_count = 0
             else:
                 blank_count += 1
                 if blank_count >= FLAGS.yt_reset_after:
                     print('\n[Background]')
                     decoder.reset()
                     blank_count = 0
+                    last = ''
             if FLAGS.yt_reset_step and chunks_done % FLAGS.yt_reset_step \
                     == 0:
                 decoder.reset()
