@@ -33,6 +33,9 @@ def run_backend(name, decoder, utts, tokenizer):
     total_time = 0.0
     for audio, text in utts:
         decoder.reset()
+        # greedy decode() yields NEW text per chunk (concatenate); beam
+        # decode() yields the CURRENT FULL hypothesis (keep the last)
+        is_beam = hasattr(decoder, 'beam')
         start = time.time()
         hyp = []
         n = (len(audio) - decoder.win_size) // decoder.hop_size + 1
@@ -43,7 +46,7 @@ def run_backend(name, decoder, utts, tokenizer):
         total_time += time.time() - start
         total_audio += len(audio) / 16000.0
         refs.append(text.lower())
-        hyps.append(''.join(hyp).strip())
+        hyps.append((hyp[-1] if hyp and is_beam else ''.join(hyp)).strip())
     pairs = [(r, h) for r, h in zip(refs, hyps) if r.strip()]
     mean_wer = wer([r for r, _ in pairs], [h for _, h in pairs]) \
         if pairs else 1.0
