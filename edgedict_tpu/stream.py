@@ -607,6 +607,8 @@ class StreamingDecoder:
         tokens = np.asarray(tokens).reshape(-1)
         self.elapsed.append(time.time() - start)
         self._steps += len(chunks)
+        if self.reset_step and self._steps >= self.reset_step:
+            self.reset()
         return self._detok(tokens)
 
     def profile_components(self, audio: np.ndarray, max_chunks=50):
