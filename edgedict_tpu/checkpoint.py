@@ -32,8 +32,16 @@ def _to_host(tree, copy=False):
     return jax.tree.map(lambda x: np.asarray(x), tree)
 
 
+_TMP_SEQ = [0]
+
+
 def _write_payload(payload, path):
-    tmp = path + '.tmp'
+    # unique tmp per write: a background save and a synchronous save of
+    # the same step (e.g. periodic save + end-of-training save landing on
+    # one step) must not race on a shared tmp name — each writes its own
+    # and the atomic replace makes the last completed write win
+    _TMP_SEQ[0] += 1
+    tmp = f'{path}.tmp.{os.getpid()}.{threading.get_ident()}.{_TMP_SEQ[0]}'
     with open(tmp, 'wb') as f:
         f.write(serialization.to_bytes(payload))
     os.replace(tmp, path)

@@ -58,3 +58,18 @@ def test_background_write_error_propagates(tmp_path, monkeypatch):
                         background=True)
     wait_for_checkpoints()
     assert os.path.exists(p)
+
+
+def test_concurrent_same_step_saves_do_not_race(tmp_path):
+    """A background save and an immediate synchronous save of the SAME
+    step (periodic save + end-of-training save landing on one step) must
+    both succeed — each write uses a unique tmp name, so neither rename
+    can steal the other's file."""
+    params = _params()
+    for i in range(20):
+        save_checkpoint(str(tmp_path), 7, params, background=True)
+        p = save_checkpoint(str(tmp_path), 7, params)
+        assert os.path.exists(p)
+    wait_for_checkpoints()
+    payload = load_checkpoint(p, params)
+    assert payload['step'] == 7
