@@ -279,6 +279,10 @@ def main():
             'per_chunk_throughput': round(chunk_tp, 3),
             'per_chunk_latency_ms': round(chunk_ms, 3),
             'per_chunk_rtf': round(chunk_ms / 150.0, 4),
+            # latency minus the measured host-link round trip: the
+            # on-device estimate a local (non-tunneled) deployment sees
+            'per_chunk_device_ms_est': round(
+                max(chunk_ms - dispatch_floor_ms, 0.0), 3),
             'server_256stream_throughput': round(server_tp, 1),
             'server_round_ms': round(server_ms, 3),
             'server_realtime_capacity': server_cap,
