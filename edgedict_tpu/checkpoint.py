@@ -159,6 +159,31 @@ def load_checkpoint(path, params_template, opt_state_template=None):
     return payload
 
 
+def prune_checkpoints(logdir, keep):
+    """Keep only the newest `keep` step-numbered checkpoints (0/None =
+    keep all, the reference behavior).  best.ckpt and flag snapshots are
+    untouched.  Call AFTER wait_for_checkpoints() or from the same thread
+    that issued the saves — pruning only deletes steps strictly older
+    than the `keep` newest, so an in-flight background write of the
+    newest step is never its own victim."""
+    if not keep:
+        return []
+    models_dir = os.path.join(logdir, 'models')
+    if not os.path.isdir(models_dir):
+        return []
+    steps = sorted(int(m.group(1)) for fn in os.listdir(models_dir)
+                   if (m := re.fullmatch(r'(\d+)\.ckpt', fn)))
+    doomed = steps[:-keep] if len(steps) > keep else []
+    removed = []
+    for step in doomed:
+        try:
+            os.remove(os.path.join(models_dir, f'{step}.ckpt'))
+            removed.append(step)
+        except OSError:
+            pass
+    return removed
+
+
 def latest_step(logdir):
     """Highest checkpoint step in logs/<name>/models, or None."""
     models_dir = os.path.join(logdir, 'models')

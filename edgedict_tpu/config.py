@@ -113,6 +113,9 @@ def define_flags():
     # log
     d(flags.DEFINE_integer, 'loss_step', 5, help='loss report frequency')
     d(flags.DEFINE_integer, 'save_step', 10000, help='checkpoint frequency')
+    d(flags.DEFINE_integer, 'keep_checkpoints', 0,
+      help='keep only the newest N step checkpoints (0 = keep all, '
+           'the reference behavior); best.ckpt is never pruned')
     d(flags.DEFINE_integer, 'eval_step', 10000, help='eval frequency')
     d(flags.DEFINE_integer, 'sample_size', 20, help='visualized examples')
 

@@ -20,8 +20,8 @@ import jax.numpy as jnp
 
 from edgedict_tpu import optim
 from edgedict_tpu.checkpoint import (
-    checkpoint_path, latest_step, load_checkpoint, save_checkpoint,
-    wait_for_checkpoints,
+    checkpoint_path, latest_step, load_checkpoint, prune_checkpoints,
+    save_checkpoint, wait_for_checkpoints,
     snapshot_flags)
 from edgedict_tpu.data import (
     BucketSpec, CommonVoice, DataLoader, Librispeech, MergedDataset,
@@ -227,6 +227,8 @@ class Trainer:
                     # serialization + disk write happen on the writer
                     # thread so the step loop keeps the chip busy
                     self.save(background=True)
+                    if getattr(F, 'keep_checkpoints', 0):
+                        prune_checkpoints(self.logdir, F.keep_checkpoints)
                 if step % F.eval_step == 0 and self.eval_loader:
                     val_loss, val_wer = self.evaluate()
                     if self.sched is not None:

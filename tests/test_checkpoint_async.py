@@ -73,3 +73,17 @@ def test_concurrent_same_step_saves_do_not_race(tmp_path):
     wait_for_checkpoints()
     payload = load_checkpoint(p, params)
     assert payload['step'] == 7
+
+
+def test_prune_checkpoints_keeps_newest(tmp_path):
+    from edgedict_tpu.checkpoint import latest_step, prune_checkpoints
+    params = _params()
+    for step in (1, 2, 3, 4, 5):
+        save_checkpoint(str(tmp_path), step, params)
+    open(os.path.join(str(tmp_path), 'models', 'best.ckpt'), 'wb').close()
+    removed = prune_checkpoints(str(tmp_path), keep=2)
+    assert removed == [1, 2, 3]
+    left = sorted(os.listdir(os.path.join(str(tmp_path), 'models')))
+    assert left == ['4.ckpt', '5.ckpt', 'best.ckpt']
+    assert latest_step(str(tmp_path)) == 5
+    assert prune_checkpoints(str(tmp_path), keep=0) == []   # 0 = keep all
