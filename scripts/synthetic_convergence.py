@@ -69,6 +69,9 @@ class ToyCorpus:
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--steps', type=int, default=400)
+    ap.add_argument('--enc_type', default='LSTM', choices=['LSTM', 'GRU'],
+                    help='encoder cell (GRU exercises the Pallas GRU '
+                         'training kernel end to end)')
     ap.add_argument('--logdir', default='/tmp/edgedict_synth')
     ap.add_argument('--tokenizer', default='char', choices=['char', 'bpe'])
     ap.add_argument('--beam', type=int, default=0,
@@ -88,6 +91,7 @@ def main():
     FLAGS.lr = 3e-3
     FLAGS.warmup_step = 40
     FLAGS.gradclip = 5.0
+    FLAGS.enc_type = args.enc_type
     FLAGS.enc_hidden_size = 128
     FLAGS.enc_layers = 3
     FLAGS.enc_proj_size = 128
