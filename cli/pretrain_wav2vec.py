@@ -47,7 +47,7 @@ def main(argv):
     for epoch in range(FLAGS.epochs):
         for batch in loader:
             metrics = pretrainer.run_step(batch)
-            step = int(pretrainer.state.step)
+            step = pretrainer.host_step
             if step % FLAGS.loss_step == 0:
                 acc = float(metrics.get('correct', 0)) / max(
                     float(metrics.get('count', 1)), 1)

@@ -299,7 +299,11 @@ def _rows_to_scal(x, B, Tp, r_t, r_u):
 
 
 def _mxu_dtype(ref_dtype):
-    return jnp.bfloat16 if jax.default_backend() == 'tpu' else ref_dtype
+    """MXU compute dtype follows the ACTIVATIONS: the production bf16
+    train path feeds bf16 f/g (so the joint matmuls run bf16 on the MXU),
+    while a --bf16=false run keeps fp32 end to end and matches the XLA
+    fallback numerics instead of silently downcasting."""
+    return ref_dtype
 
 
 def _vjp_fwd(f, g, w_t, bias, labels, blank):

@@ -103,6 +103,8 @@ class Wav2VecPretrainer:
         self.state = TrainState(step=jnp.zeros((), jnp.int32),
                                 params=params,
                                 opt_state=self.optimizer.init(params))
+        # host-side step mirror (avoids a per-step device sync in the loop)
+        self.host_step = 0
 
         cfg = self.cfg
 
@@ -171,7 +173,7 @@ class Wav2VecPretrainer:
 
     def run_step(self, batch):
         F = self.FLAGS
-        step = int(self.state.step)
+        step = self.host_step        # device fetch here would sync per step
         total = F.epochs * max(
             len(self.train_dataset) // F.batch_size, 1)
         lr = F.lr * linear_warmup_decay(step, F.warmup_step, total)
@@ -181,6 +183,7 @@ class Wav2VecPretrainer:
         self.state, metrics = self.train_step(
             self.state, sharded, sub, jnp.asarray(lr, jnp.float32),
             {'temp': jnp.asarray(temp, jnp.float32)})
+        self.host_step += 1
         return metrics
 
     def evaluate(self, max_batches=8):
@@ -202,7 +205,7 @@ class Wav2VecPretrainer:
             if len(samples) < F.eval_batch_size:
                 break
             batch = self.make_batch(samples)
-            step = int(self.state.step)
+            step = self.host_step
             temp = max(F.init_temp * F.temp_decay ** step, F.min_temp)
             m = self._eval_fn(self.state.params,
                               {k: jnp.asarray(v) for k, v in batch.items()},

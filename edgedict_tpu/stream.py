@@ -601,6 +601,13 @@ class StreamingDecoder:
         (chunks: (block_chunks, win_size)).  Same math as block_chunks
         sequential decode() calls; amortizes dispatch latency."""
         assert self.group_step is not None
+        if self.reset_step and self._steps + len(chunks) > self.reset_step:
+            # the periodic reset lands INSIDE this block: fall back to
+            # per-chunk decode so the reset fires at exactly the same
+            # chunk as decode() would (block output == per-chunk output
+            # for any reset_step, at the cost of one per-chunk pass on
+            # the rare reset-crossing block)
+            return ''.join(self.decode(c) for c in chunks)
         start = time.time()
         tokens, self.state = self.group_step(
             self.params, self.state, jnp.asarray(chunks, jnp.float32))
@@ -666,8 +673,12 @@ class StreamingDecoder:
     def decode_wav_pipelined(self, audio: np.ndarray) -> str:
         """Like decode_wav but with lag-1 token fetch: round i's tokens are
         materialized while round i+1's dispatch is in flight, hiding one
-        host↔device round trip per block (text emission lags one block)."""
+        host↔device round trip per block (text emission lags one block).
+        Under a periodic reset_step policy the pipelined path would skip
+        the resets, so it delegates to decode_wav (which honors them)."""
         assert self.group_step is not None
+        if self.reset_step:
+            return self.decode_wav(audio)
         self.reset()
         n = max((len(audio) - self.win_size) // self.hop_size + 1, 0)
         n -= n % self.block_chunks

@@ -134,10 +134,13 @@ class Trainer:
             u_multiple=FLAGS.label_bucket,
             t_max=int(FLAGS.audio_max_length * 16000 + hop),
         )
+        # torch convention: num_workers=0 = load in the main process
+        # (serial decode, debuggable); absent/None = auto thread pool
+        nw = getattr(FLAGS, 'num_workers', None)
         self.loader = DataLoader(
             self.train_dataset, FLAGS.batch_size, shuffle=True,
             bucket=self.bucket, drop_last=True,
-            workers=getattr(FLAGS, 'num_workers', None) or None)
+            workers=None if nw is None else max(1, nw))
         self.eval_loader = DataLoader(
             self.eval_dataset, FLAGS.eval_batch_size, shuffle=False,
             bucket=self.bucket, drop_last=True,
@@ -154,6 +157,12 @@ class Trainer:
         self._rng = jax.random.PRNGKey(1234)
         self._skip_batches = 0
         self._best_wer = float('inf')
+        # host-side mirror of state.step: reading int(self.state.step)
+        # every iteration would block on the previous step's completion
+        # and defeat async dispatch pipelining (≈26 ms/step bubble on a
+        # tunneled link); the device value is only fetched at
+        # load/save boundaries
+        self._host_step = int(self.state.step)
 
     # ------------------------------------------------------------------
     def _build_model_and_steps(self):
@@ -189,16 +198,16 @@ class Trainer:
     def run_step(self, batch):
         """One optimizer step on a host batch dict (audio/alen/ys/ylen)."""
         sharded = shard_batch(self.mesh, batch, self.accum_steps)
-        step = int(self.state.step)
         self.state, metrics = self.train_step(
             self.state, sharded, self._next_rng(),
-            jnp.asarray(self._lr(step), jnp.float32))
+            jnp.asarray(self._lr(self._host_step), jnp.float32))
+        self._host_step += 1
         return metrics
 
     def train(self, total_steps=None, log_fn=print):
         F = self.FLAGS
         total = total_steps or F.epochs * max(len(self.loader), 1)
-        step = int(self.state.step)
+        step = self._host_step
         t0 = time.time()
         profile_dir = getattr(F, 'profile_dir', None)
         while step < total:
@@ -210,7 +219,7 @@ class Trainer:
                 if profile_dir and step == 10:
                     jax.profiler.start_trace(profile_dir)
                 metrics = self.run_step(batch)
-                step = int(self.state.step)
+                step = self._host_step
                 if profile_dir and step == 13:
                     jax.profiler.stop_trace()
                     profile_dir = None
@@ -323,6 +332,7 @@ class Trainer:
             self._rng = jnp.asarray(extra['rng'], jnp.uint32)
         if 'best_wer' in extra and extra['best_wer'] is not None:
             self._best_wer = float(extra['best_wer'])
+        self._host_step = step
         # realign the data stream so a resumed run replays the SAME batch
         # sequence an uninterrupted run would have seen: restore the
         # epoch counter (per-epoch shuffle seed) and skip the batches the

@@ -308,3 +308,27 @@ def test_decode_wav_pipelined_matches_decode_wav():
     b = dec.decode_wav_pipelined(audio)
     # pipelined drops the trailing partial block; compare its prefix
     assert b and a.startswith(b.rstrip()) or a == b
+
+
+def test_block_decode_matches_per_chunk_under_reset_policy():
+    """reset_step NOT a multiple of block_chunks: block mode must fire the
+    periodic reset at the SAME chunk as per-chunk decode (falls back to a
+    per-chunk pass on reset-crossing blocks), and the pipelined offline
+    path honors the policy by delegating to decode_wav."""
+    feature_cfg = FeatureConfig(
+        feature_type='logfbank', feature_size=3, n_fft=64, win_length=40,
+        hop_length=20, downsample=3, pad_to_divisible=False)
+    params = T.transducer_init(jax.random.PRNGKey(9), CFG)
+    mk = lambda block: StreamingDecoder(
+        params, CFG, feature_cfg, _Tok(), step_n_frame=2,
+        block_chunks=block, reset_step=3)      # 3 % 2 != 0
+    per_chunk = mk(1)
+    blocky = mk(2)
+    rng = np.random.RandomState(1)
+    audio = (rng.randn(per_chunk.win_size
+                       + 7 * per_chunk.hop_size) * 0.5).astype(np.float32)
+    a = per_chunk.decode_wav(audio)
+    b = blocky.decode_wav(audio)
+    assert a == b
+    c = blocky.decode_wav_pipelined(audio)
+    assert c == a
