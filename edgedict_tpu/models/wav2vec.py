@@ -443,6 +443,14 @@ class Wav2VecConfig:
     latent_temp: Tuple[float, float, float] = (2.0, 0.5, 0.999995)
     logit_temp: float = 0.1
     quantize_targets: bool = True
+    # optional branches (reference rnnt/wav2vec.py:115-145,332-358 — dead
+    # config at its call site, cli/pretrain_wav2vec.py:122-136, but part
+    # of the model surface)
+    quantize_input: bool = False
+    same_quantizer: bool = False          # input VQ shares the target VQ
+    negatives_from_everywhere: bool = False
+    cross_sample_negatives: int = 0
+    codebook_negatives: int = 0
 
     @property
     def embed(self):
@@ -469,9 +477,19 @@ class Wav2VecConfig:
             groups=self.latent_groups, vq_dim=self.final_dim_,
             temp=self.latent_temp)
 
+    @property
+    def input_vq_cfg(self):
+        """Input-VQ geometry (reference rnnt/wav2vec.py:139-154: dim =
+        frontend embed, vq_dim = encoder embed dim when not sharing the
+        target quantizer)."""
+        return GumbelVQConfig(
+            dim=self.embed, num_vars=self.latent_vars,
+            groups=self.latent_groups, vq_dim=self.input_size,
+            temp=self.latent_temp)
+
 
 def wav2vec_init(key, cfg: Wav2VecConfig):
-    keys = jax.random.split(key, 7)
+    keys = jax.random.split(key, 9)
     params = {
         'frontend': frontend_init(keys[0], cfg.frontend_params,
                                   bias=cfg.front_bias),
@@ -481,7 +499,10 @@ def wav2vec_init(key, cfg: Wav2VecConfig):
         'final_proj': linear_init(keys[3], cfg.enc_proj_size,
                                   cfg.final_dim_),
     }
-    if cfg.embed != cfg.input_size:
+    # reference condition (rnnt/wav2vec.py:98-102): the post-extract proj
+    # exists only when dims differ AND input is not quantized (the input
+    # VQ's project_inp takes over the dim change)
+    if cfg.embed != cfg.input_size and not cfg.quantize_input:
         params['post_extract_proj'] = linear_init(
             keys[4], cfg.embed, cfg.input_size)
     if cfg.quantize_targets:
@@ -491,6 +512,16 @@ def wav2vec_init(key, cfg: Wav2VecConfig):
     else:
         params['project_q'] = linear_init(keys[6], cfg.embed,
                                           cfg.final_dim_)
+    if cfg.quantize_input:
+        if cfg.same_quantizer and 'quantizer' in params:
+            # shared codebook: project from the TARGET quantizer's vq_dim
+            params['project_inp'] = linear_init(
+                keys[7], cfg.final_dim_, cfg.input_size)
+        else:
+            params['input_quantizer'] = gumbel_vq_init(
+                keys[8], cfg.input_vq_cfg)
+            params['project_inp'] = linear_init(
+                keys[7], cfg.input_vq_cfg.vq_dim, cfg.input_size)
     return params
 
 
@@ -502,6 +533,50 @@ def sample_negative_indices(rng, b, m, n_negatives):
     neg_idxs = jax.random.randint(rng, (b, n_negatives * m), 0, m - 1)
     neg_idxs = jnp.where(neg_idxs >= tszs, neg_idxs + 1, neg_idxs)
     return neg_idxs       # (B, n_negatives * M), values in [0, M)
+
+
+def sample_negatives(rng, y, num, n_negatives, cross_sample_negatives=0):
+    """Full reference sample_negatives (rnnt/wav2vec.py:205-263): gather
+    `n_negatives` within-utterance candidates (from this row's Tsz
+    positions, self-index skipped) and `cross_sample_negatives` candidates
+    from the whole flattened (B*Tsz) pool, for each of the `num` target
+    steps.  y: (B, Tsz, F) candidate features (Tsz may differ from num
+    when negatives_from_everywhere samples the full unmasked sequence).
+    Returns (n_negatives + cross_sample_negatives, B, num, F)."""
+    b, tsz, fsz = y.shape
+    rng_w, rng_x = jax.random.split(rng)
+    parts = []
+    if n_negatives > 0:
+        tszs = jnp.repeat(jnp.arange(num), n_negatives)[None, :]
+        idx = jax.random.randint(rng_w, (b, n_negatives * num), 0, tsz - 1)
+        idx = jnp.where(idx >= tszs, idx + 1, idx)
+        parts.append(idx + jnp.arange(b)[:, None] * tsz)  # row-local pool
+    if cross_sample_negatives > 0:
+        tszs = jnp.repeat(jnp.arange(num),
+                          cross_sample_negatives)[None, :]
+        idx = jax.random.randint(rng_x, (b, cross_sample_negatives * num),
+                                 0, b * tsz - 1)
+        idx = jnp.where(idx >= tszs, idx + 1, idx)
+        parts.append(idx)                                  # global pool
+    neg_idxs = jnp.concatenate(parts, axis=1)
+    negs = y.reshape(b * tsz, fsz)[neg_idxs.reshape(-1)]
+    n_total = n_negatives + cross_sample_negatives
+    # the reference reshapes the concatenated index block directly
+    # (rnnt/wav2vec.py:256-260) — reproduced verbatim for parity
+    return jnp.moveaxis(negs.reshape(b, num, n_total, fsz), 2, 0)
+
+
+def gumbel_vq_sample_codebook(params, cfg: GumbelVQConfig, rng, b, n):
+    """Sample `n` random full codewords (all groups concatenated) per each
+    of `b` targets (reference GumbelVectorQuantizer.sample_from_codebook,
+    modules/softmax_vector_quantizer.py:116-127).  Returns (b, n, vq_dim)."""
+    codebook = params['vars'][0]                 # (G*V, var_dim)
+    if cfg.combine_groups:
+        codebook = jnp.tile(codebook, (cfg.groups, 1))
+    idx = jax.random.randint(rng, (b * n, cfg.groups), 0, cfg.num_vars)
+    idx = idx + jnp.arange(cfg.groups)[None, :] * cfg.num_vars
+    z = codebook[idx.reshape(-1)].reshape(b * n, cfg.groups, -1)
+    return z.reshape(b, n, -1)
 
 
 def wav2vec_forward(params, cfg: Wav2VecConfig, source, mask_idx,
@@ -518,7 +593,7 @@ def wav2vec_forward(params, cfg: Wav2VecConfig, source, mask_idx,
     """
     if rng is None:
         rng = jax.random.PRNGKey(0)
-    rng_g, rng_n, rng_d = jax.random.split(rng, 3)
+    rng_g, rng_n, rng_d, rng_iq, rng_ne, rng_cb = jax.random.split(rng, 6)
 
     features = frontend_apply(params['frontend'], source,
                               cfg.frontend_params)       # (B, T, embed)
@@ -527,6 +602,29 @@ def wav2vec_forward(params, cfg: Wav2VecConfig, source, mask_idx,
 
     if 'post_extract_proj' in params:
         features = linear(params['post_extract_proj'], features)
+
+    out = {'features_pen': features_pen}
+    if cfg.quantize_input:
+        # quantize the ENCODER INPUT features over the full sequence
+        # (reference rnnt/wav2vec.py:296-302); targets keep the raw
+        # unmasked frontend output
+        if 'input_quantizer' in params:
+            q_in = gumbel_vq_apply(params['input_quantizer'],
+                                   cfg.input_vq_cfg, features, temp,
+                                   rng=rng_iq, training=training)
+        else:      # same_quantizer: shares the target VQ's codebook
+            q_in = gumbel_vq_apply(params['quantizer'], cfg.gumbel_cfg,
+                                   features, temp, rng=rng_iq,
+                                   training=training)
+        features = linear(params['project_inp'], q_in['x'])
+        # observable separately; the shared keys below follow the
+        # reference's overwrite order (target VQ wins when present)
+        out.update(input_prob_perplexity=q_in['prob_perplexity'],
+                   input_code_perplexity=q_in['code_perplexity'])
+        if not cfg.quantize_targets:
+            out.update(prob_perplexity=q_in['prob_perplexity'],
+                       code_perplexity=q_in['code_perplexity'],
+                       num_vars=q_in['num_vars'], temp=temp)
 
     b, t, _ = features.shape
     m = mask_idx.shape[1]
@@ -543,7 +641,6 @@ def wav2vec_forward(params, cfg: Wav2VecConfig, source, mask_idx,
     y_feats = jnp.take_along_axis(
         unmasked, mask_idx[..., None].astype(jnp.int32), axis=1)  # (B,M,E)
 
-    out = {'features_pen': features_pen}
     if cfg.quantize_targets:
         q = gumbel_vq_apply(params['quantizer'], cfg.gumbel_cfg, y_feats,
                             temp, rng=rng_g, training=training,
@@ -554,13 +651,39 @@ def wav2vec_forward(params, cfg: Wav2VecConfig, source, mask_idx,
                    num_vars=q['num_vars'], temp=temp)
         if 'targets' in q:
             out['targets'] = q['targets']
+        if cfg.negatives_from_everywhere:
+            # candidates = the QUANTIZED full unmasked sequence, projected
+            # after sampling (reference rnnt/wav2vec.py:332-337)
+            neg_cands = gumbel_vq_apply(
+                params['quantizer'], cfg.gumbel_cfg, unmasked, temp,
+                rng=rng_ne, training=training)['x']
+            negs = sample_negatives(rng_n, neg_cands, m,
+                                    cfg.num_negatives,
+                                    cfg.cross_sample_negatives)
+            negs = linear(params['project_q'], negs)
+        else:
+            negs = sample_negatives(rng_n, y, m, cfg.num_negatives,
+                                    cfg.cross_sample_negatives)
+        if cfg.codebook_negatives > 0:
+            # extra negatives drawn uniformly from the codebook
+            # (reference rnnt/wav2vec.py:339-347)
+            cb = gumbel_vq_sample_codebook(
+                params['quantizer'], cfg.gumbel_cfg, rng_cb, b * m,
+                cfg.codebook_negatives)
+            cb = jnp.moveaxis(cb.reshape(b, m, cfg.codebook_negatives, -1),
+                              2, 0)                   # (K, B, M, vq)
+            cb = linear(params['project_q'], cb)
+            negs = jnp.concatenate([negs, cb], axis=0)
     else:
         y = linear(params['project_q'], y_feats)
-
-    neg_idxs = sample_negative_indices(rng_n, b, m, cfg.num_negatives)
-    negs = jnp.take_along_axis(y, neg_idxs[..., None], axis=1)
-    negs = negs.reshape(b, m, cfg.num_negatives, -1)
-    negs = jnp.moveaxis(negs, 2, 0)                  # (N, B, M, F)
+        if cfg.negatives_from_everywhere:
+            negs = sample_negatives(rng_n, unmasked, m,
+                                    cfg.num_negatives,
+                                    cfg.cross_sample_negatives)
+            negs = linear(params['project_q'], negs)
+        else:
+            negs = sample_negatives(rng_n, y, m, cfg.num_negatives,
+                                    cfg.cross_sample_negatives)
 
     x_m = jnp.take_along_axis(h, mask_idx[..., None].astype(jnp.int32),
                               axis=1)                # (B, M, P)
@@ -583,15 +706,33 @@ def wav2vec_forward(params, cfg: Wav2VecConfig, source, mask_idx,
     return out
 
 
-def contrastive_loss(result, prob_ppl_weight=0.1, features_pen_weight=10.0):
+def contrastive_loss(result, prob_ppl_weight=0.1, features_pen_weight=10.0,
+                     infonce=True):
     """InfoNCE cross-entropy (target class 0 = the positive) + weighted
     extra losses (reference ConstrastiveCriterion, rnnt/wav2vec.py:424-528).
-    Returns (loss, metrics)."""
+    Returns (loss, metrics).
+
+    infonce=False selects the BCE mode (reference rnnt/wav2vec.py:463-470).
+    NOTE the reference's own BCE branch cannot run as written: its
+    get_targets (rnnt/wav2vec.py:403-405) returns a (B*M,) zero vector
+    that does not broadcast against the (M*B, 1+N) logits — dead config
+    at its call site (cli/pretrain_wav2vec.py:136 passes infonce=True).
+    Implemented here with the fairseq wav2vec-1.0 semantics the code
+    descends from: binary target 1 for the positive row, 0 for negatives,
+    elementwise BCE-with-logits; −inf logits on excluded (duplicate)
+    negatives contribute exactly 0."""
     logits = result['logits']                        # (1+N, B, M)
     n1, b, m = logits.shape
-    lsm = jax.nn.log_softmax(logits.astype(jnp.float32), axis=0)
-    nll = -lsm[0]                                    # (B, M)
-    loss = jnp.sum(nll) / (b * m)
+    if infonce:
+        lsm = jax.nn.log_softmax(logits.astype(jnp.float32), axis=0)
+        nll = -lsm[0]                                # (B, M)
+        loss = jnp.sum(nll) / (b * m)
+    else:
+        x = logits.astype(jnp.float32)
+        pos = jax.nn.softplus(-x[0])                 # target 1 on row 0
+        neg = jax.nn.softplus(x[1:])                 # target 0 on the rest
+        neg = jnp.where(jnp.isneginf(x[1:]), 0.0, neg)
+        loss = (jnp.sum(pos) + jnp.sum(neg)) / (b * m)
 
     metrics = {'contrastive_loss': loss}
     extra = 0.0
