@@ -25,8 +25,12 @@ flags.DEFINE_string('model_name', None,
                     '(default: latest)')
 flags.DEFINE_integer('beam_width', 1,
                      '>1 switches to streaming beam search')
-flags.DEFINE_bool('merge_prefixes', False,
+flags.DEFINE_bool('merge_prefixes', True,
                   'exact Graves prefix-probability summation in beam search')
+flags.DEFINE_integer('max_sym_per_frame', 3,
+                     'beam search label-expansion budget per encoder '
+                     'frame; raise for models with bursty (many tokens '
+                     'per frame) alignments')
 flags.DEFINE_integer('block_chunks', 1,
                      '>1 decodes N chunks per device dispatch (layer-major '
                      'block mode: same output, ~1.6x the throughput at '
@@ -73,7 +77,8 @@ def build_stream_decoder(FLAGS):
             params, cfg, feature_cfg, tokenizer,
             step_n_frame=FLAGS.step_n_frame,
             beam_width=FLAGS.beam_width,
-            merge_prefixes=getattr(FLAGS, 'merge_prefixes', False),
+            max_sym_per_frame=getattr(FLAGS, 'max_sym_per_frame', 3),
+            merge_prefixes=getattr(FLAGS, 'merge_prefixes', True),
             block_chunks=getattr(FLAGS, 'block_chunks', 1))
     return StreamingDecoder(params, cfg, feature_cfg, tokenizer,
                             step_n_frame=FLAGS.step_n_frame,

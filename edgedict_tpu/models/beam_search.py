@@ -8,11 +8,18 @@ expansions per frame and `lax.top_k` pruning.  All hypothesis state lives in
 fixed-shape tensors (tokens, lengths, log-probs, prediction-net state), so
 the whole search compiles once.
 
-Approximations vs exact Graves (standard practice, e.g. torchaudio's
-RNNTBeamSearch): bounded expansions per frame instead of unbounded, and
-identical prefixes reached by different alignments are kept as separate
-hypotheses (no prefix-probability summation).  With beam_width=1 this
-reduces exactly to greedy decode.
+Scoring follows Graves: a hypothesis is a label PREFIX whose score is the
+probability-sum over every alignment of that prefix surviving in the beam
+— identical prefixes are logsumexp-merged at every pool operation
+(expansion and blank/prune), BEFORE pruning, so alignment mass
+accumulates instead of competing for beam slots.  Max-single-alignment
+scoring (merge_prefixes=False) is catastrophically deletion-biased on
+smooth-posterior models: the all-blank path concentrates its probability
+in one alignment while each token-ful prefix spreads its mass over many,
+so token-ful prefixes get pruned (measured on a synthetic confusable
+corpus: W=4 beam 44% WER vs greedy 11%; prefix-merged beam beats greedy).
+Remaining approximation vs exact Graves: bounded label expansions per
+frame (max_sym_per_frame) instead of unbounded.
 
 Optional LM shallow fusion: pass an (lm_params, LMConfig, weight) triple;
 per-hypothesis LM state is threaded alongside the prediction-net state and
@@ -75,9 +82,14 @@ def _concat_beams(a: BeamState, b: BeamState):
                  if a.lm_next is not None else None))
 
 
-def _merge_top_w(a: BeamState, b: BeamState, w):
-    """Top-w of the concatenated pools along the W axis."""
+def _merge_top_w(a: BeamState, b: BeamState, w, merge=False):
+    """Top-w of the concatenated pools along the W axis.  With merge=True,
+    identical prefixes in the 2w pool are probability-summed BEFORE the
+    prune — merging after pruning loses alignment mass that individually
+    falls below the cut but jointly belongs in the beam."""
     cat = _concat_beams(a, b)
+    if merge:
+        cat = merge_duplicate_prefixes(cat)
     logp, idx = jax.lax.top_k(cat.logp, w)
     out = _gather_beam(cat, idx)
     return out._replace(logp=logp)
@@ -114,7 +126,7 @@ def merge_duplicate_prefixes(beam: BeamState):
 
 def make_beam_machinery(params, cfg, batch, beam_width=8,
                         max_sym_per_frame=3, max_tokens=200, lm=None,
-                        merge_prefixes=False):
+                        merge_prefixes=True):
     """Build (init_beam_fn, frame_step) for a (batch, beam_width) search.
     Shared by offline `beam_search_from_encoder` and the streaming beam
     decoder (which carries the BeamState across chunks)."""
@@ -206,7 +218,7 @@ def make_beam_machinery(params, cfg, batch, beam_width=8,
             # blank: hypothesis consumes the frame → stay pool
             blank_cand = active._replace(
                 logp=active.logp + lp[..., blank])
-            stay = _merge_top_w(stay, blank_cand, W)
+            stay = _merge_top_w(stay, blank_cand, W, merge=merge_prefixes)
             # labels: expand within the frame
             total = active.logp[..., None] + lp
             if active.lm_next is not None:
@@ -220,13 +232,16 @@ def make_beam_machinery(params, cfg, batch, beam_width=8,
             v = (flat_idx % V).astype(jnp.int32)
             active = _gather_beam(active, src)._replace(logp=flat_logp)
             active = advance(active, v)
+            if merge_prefixes:
+                # identical prefixes reached via different in-frame
+                # emission orders: sum before the next expansion
+                active = merge_duplicate_prefixes(active)
 
         # expansions that never emitted blank still consume the frame
         lp = beam_joint_logp(h_enc_t, active.dec_out)
         stay = _merge_top_w(
-            stay, active._replace(logp=active.logp + lp[..., blank]), W)
-        if merge_prefixes:
-            stay = merge_duplicate_prefixes(stay)
+            stay, active._replace(logp=active.logp + lp[..., blank]), W,
+            merge=merge_prefixes)
 
         # frames beyond xlen leave the beam untouched
         g1 = lambda new, old: jnp.where(
@@ -262,12 +277,13 @@ def best_hypothesis(final: BeamState):
 
 def beam_search_from_encoder(params, cfg, h_enc, xlen=None, beam_width=8,
                              max_sym_per_frame=3, max_tokens=200,
-                             lm=None, merge_prefixes=False):
+                             lm=None, merge_prefixes=True):
     """h_enc (B, T', E) → (tokens (B, U_cap), n_tok (B,), logp (B,)).
 
     lm: optional (lm_params, LMConfig, weight) for shallow fusion.
-    merge_prefixes: Graves prefix-probability summation (exact hypothesis
-    scores at extra O(W²·U) compare cost per frame).
+    merge_prefixes: Graves prefix-probability summation (the default —
+    see the module docstring; False = max-single-alignment scoring, used
+    by the brute-force alignment-oracle test).
     """
     B, Tn, _ = h_enc.shape
     init_fn, frame_step = make_beam_machinery(

@@ -213,8 +213,8 @@ class StreamingBeamDecoder:
     earlier output, unlike greedy)."""
 
     def __init__(self, params, cfg, feature_cfg: FeatureConfig, tokenizer,
-                 step_n_frame=2, beam_width=4, max_sym_per_frame=2,
-                 max_tokens=200, lm=None, merge_prefixes=False,
+                 step_n_frame=2, beam_width=4, max_sym_per_frame=3,
+                 max_tokens=200, lm=None, merge_prefixes=True,
                  block_chunks=1):
         assert not feature_cfg.pad_to_divisible
         from edgedict_tpu.models.beam_search import (
@@ -339,8 +339,8 @@ class MultiStreamBeamDecoder:
 
     def __init__(self, params, cfg, feature_cfg: FeatureConfig, tokenizer,
                  n_streams, step_n_frame=2, beam_width=4,
-                 max_sym_per_frame=2, max_tokens=200, lm=None,
-                 merge_prefixes=False, mesh=None, batch_axis='dp'):
+                 max_sym_per_frame=3, max_tokens=200, lm=None,
+                 merge_prefixes=True, mesh=None, batch_axis='dp'):
         assert not feature_cfg.pad_to_divisible
         from edgedict_tpu.models.beam_search import (
             best_hypothesis, make_beam_machinery)

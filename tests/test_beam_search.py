@@ -66,9 +66,11 @@ def test_beam_matches_bruteforce_oracle():
     h_enc = jax.random.normal(jax.random.PRNGKey(1), (1, 3, 6))
 
     oracle_toks, oracle_logp = _oracle_best_path(params, cfg, h_enc)
+    # merge_prefixes=False: this oracle enumerates single ALIGNMENTS, so
+    # the beam must score alignments, not alignment-summed prefixes
     toks, n_tok, logp = beam_search_from_encoder(
         params, cfg, h_enc, beam_width=64, max_sym_per_frame=1,
-        max_tokens=8)
+        max_tokens=8, merge_prefixes=False)
     assert abs(float(logp[0]) - oracle_logp) < 1e-4, \
         (float(logp[0]), oracle_logp)
     np.testing.assert_array_equal(
