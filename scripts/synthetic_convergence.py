@@ -110,13 +110,13 @@ class ToyCorpus:
 
 def run(steps=400, enc_type='LSTM', logdir='/tmp/edgedict_synth',
         tokenizer='char', beam=0, lm_fusion=0.0, language='easy',
-        noise=0.02, train_n=256, eval_n=48, lr=3e-3):
+        noise=0.02, train_n=256, eval_n=48, lr=3e-3, beam_msf=4):
     """Train on the toy language, return {'greedy', 'beam', 'beam_lm'}
     held-out WERs (the latter two only when beam > 0 / lm_fusion > 0)."""
     args = argparse.Namespace(
         steps=steps, enc_type=enc_type, logdir=logdir, tokenizer=tokenizer,
         beam=beam, lm_fusion=lm_fusion, language=language, noise=noise,
-        train_n=train_n, eval_n=eval_n, lr=lr)
+        train_n=train_n, eval_n=eval_n, lr=lr, beam_msf=beam_msf)
     from edgedict_tpu.config import FLAGS, ensure_parsed
     ensure_parsed(['synth'])
     FLAGS.name = 'synth'
@@ -181,6 +181,7 @@ def run(steps=400, enc_type='LSTM', logdir='/tmp/edgedict_synth',
                       flush=True)
             if step >= args.steps:
                 break
+    trainer.save()                  # reusable for decode-setting sweeps
     loss, wer = trainer.evaluate()
     print(f'FINAL held-out (greedy): loss {loss:.3f} WER {wer:.4f}')
     result = {'greedy': wer}
@@ -217,7 +218,7 @@ def run(steps=400, enc_type='LSTM', logdir='/tmp/edgedict_synth',
                 return optax.apply_updates(p, u), s, l
 
             rng2 = np.random.RandomState(0)
-            for _ in range(400):
+            for _ in range(600):
                 starts = rng2.randint(0, n, 8) * seq
                 ys = jnp.asarray(np.stack(
                     [ids[s:s + seq + 1] for s in starts]))
@@ -232,7 +233,8 @@ def run(steps=400, enc_type='LSTM', logdir='/tmp/edgedict_synth',
                     jnp.asarray(batch['audio']), jnp.asarray(batch['alen']))
                 toks, n_tok, _ = transducer_beam_search(
                     trainer.state.params, trainer.cfg, xs, xlen,
-                    beam_width=args.beam, max_sym_per_frame=2,
+                    beam_width=args.beam,
+                    max_sym_per_frame=args.beam_msf,
                     max_tokens=64, lm=lm_triple)
                 for b in range(toks.shape[0]):
                     hyps.append(tok.decode(
@@ -271,6 +273,9 @@ def main():
     ap.add_argument('--train_n', type=int, default=256)
     ap.add_argument('--eval_n', type=int, default=48)
     ap.add_argument('--lr', type=float, default=3e-3)
+    ap.add_argument('--beam_msf', type=int, default=4,
+                    help='beam label-expansion budget per frame (must '
+                         'cover the model alignment burst length)')
     args = ap.parse_args()
     result = run(**vars(args))
     return 0 if result['greedy'] < 0.3 else 1
