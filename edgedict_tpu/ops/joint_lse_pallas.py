@@ -7,7 +7,7 @@ logsumexp over V, and gathering: at E6D2 scale that is ~0.4 GB of HBM
 round trips per step and measured ~48% of the joint's FLOP bound
 (scripts/profile_train_step.py).
 
-This kernel computes, per 128-row block held entirely in VMEM
+This kernel computes, per ROWS-row block held entirely in VMEM
 (flash-softmax style):
 
     h      = tanh(f[b,t,:] + g[b,u,:])          # joint pre-activation
@@ -26,12 +26,12 @@ revisited across the whole grid, dg accumulates per batch row.
 
 Layout notes (Mosaic):
   * rows of one block are (t, u) pairs of ONE batch element — R_U = U+1
-    rounded up to a power of two (≤128) and R_T = 128 // R_U time steps,
-    so every MXU call sees 128 rows regardless of label length;
+    rounded up to a power of two (≤ROWS) and R_T = ROWS // R_U time
+    steps, so every MXU call sees ROWS rows regardless of label length;
   * per-row scalars (lse, the two outputs, their cotangents) travel as
-    (B, nT, 128, 1) sublane-major arrays — no lane↔sublane relayout
+    (B, nT, ROWS, 1) sublane-major arrays — no lane↔sublane relayout
     inside the kernel; the wrapper reshapes to (B, T, U+1);
-  * per-row label ids are pre-tiled to the same (B, 128, 1) row layout;
+  * per-row label ids are pre-tiled to the same (B, ROWS, 1) row layout;
   * the grid is (B, nT) with t innermost, so the per-b dg accumulator
     block is revisited consecutively.
 
@@ -51,10 +51,14 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# Rows per MXU block: 128 fills the systolic array; 256 halves the grid
-# (fewer dw-accumulator VMEM revisits in the backward) at the cost of
-# larger per-block buffers.  Env-tunable for on-chip sweeps.
-ROWS = int(os.environ.get('EDGEDICT_JOINT_ROWS', '128'))
+# Rows per MXU block: more rows = fewer grid cells, longer K on the
+# backward's dw accumulation matmul, fewer dw-accumulator VMEM revisits —
+# at the cost of larger per-block buffers.  On-chip sweep at E6D2/B=32
+# (joint+lattice fwd+bwd): 128 → 26.1 ms, 256 → 25.2, 512 → 24.9 (round
+# 3) — but 512 exceeds scoped VMEM inside the FULL train step (the
+# standalone sweep had more headroom), so 256 is the default;
+# env-tunable for sweeps.
+ROWS = int(os.environ.get('EDGEDICT_JOINT_ROWS', '256'))
 
 
 def _interpret():
@@ -62,7 +66,7 @@ def _interpret():
 
 
 def _row_blocking(u1):
-    """(R_U, R_T) with R_U * R_T == 128 and R_U >= u1, or None."""
+    """(R_U, R_T) with R_U * R_T == ROWS and R_U >= u1, or None."""
     r_u = 8
     while r_u < u1:
         r_u *= 2

@@ -66,18 +66,59 @@ def _fwd_kernel(xp_ref, whh_ref, h0_ref, c0_ref,
     cT_ref[:, :] = c
 
 
+def _lstm_cell(gates, c):
+    hdim = c.shape[-1]
+    i = jax.nn.sigmoid(gates[:, :hdim])
+    f = jax.nn.sigmoid(gates[:, hdim:2 * hdim])
+    g = jnp.tanh(gates[:, 2 * hdim:3 * hdim])
+    o = jax.nn.sigmoid(gates[:, 3 * hdim:])
+    c = f * c + i * g
+    return o * jnp.tanh(c), c
+
+
+def _fwd_kernel2(xp_ref, whh_ref, h0_ref, c0_ref,
+                 ys_ref, cs_ref, hT_ref, cT_ref, h_s, c_s, *, t_len):
+    """Two time steps per grid step: same matmul/VPU work, half the grid
+    iterations — the per-step pipeline/semaphore overhead was the dominant
+    cost at B≈32 (the matmuls are M-streamed, not 128-row-padded)."""
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _():
+        h_s[:, :] = h0_ref[:, :]
+        c_s[:, :] = c0_ref[:, :]
+
+    h = h_s[:, :]
+    c = c_s[:, :]
+    for k in range(2):
+        gates = xp_ref[k] + jnp.dot(
+            h.astype(whh_ref.dtype), whh_ref[:, :],
+            preferred_element_type=jnp.float32)
+        h, c = _lstm_cell(gates, c)
+        ys_ref[k] = h
+        cs_ref[k] = c
+    h_s[:, :] = h
+    c_s[:, :] = c
+    hT_ref[:, :] = h
+    cT_ref[:, :] = c
+
+
 def _run_fwd(x_proj, w_hh_t, h0, c0):
     # time-major internally: Mosaic needs the last two block dims
     # tile-aligned, so T is the leading (grid) axis
     x_proj = jnp.swapaxes(x_proj, 0, 1)        # (T, B, 4H)
     T, B, H4 = x_proj.shape
     H = H4 // 4
-    kernel = functools.partial(_fwd_kernel, t_len=T)
+    steps = 2 if T % 2 == 0 and T >= 4 else 1
+    if steps == 2:
+        kernel = functools.partial(_fwd_kernel2, t_len=T)
+    else:
+        kernel = functools.partial(_fwd_kernel, t_len=T)
     ys, cs, hT, cT = pl.pallas_call(
         kernel,
-        grid=(T,),
+        grid=(T // steps,),
         in_specs=[
-            pl.BlockSpec((1, B, H4), lambda t: (t, 0, 0),
+            pl.BlockSpec((steps, B, H4), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((H, H4), lambda t: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -87,9 +128,9 @@ def _run_fwd(x_proj, w_hh_t, h0, c0):
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, B, H), lambda t: (t, 0, 0),
+            pl.BlockSpec((steps, B, H), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B, H), lambda t: (t, 0, 0),
+            pl.BlockSpec((steps, B, H), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((B, H), lambda t: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -150,6 +191,52 @@ def _bwd_kernel(acts_ref, cprev_ref, c_ref, dys_ref, whh_t_ref,
     dc0_ref[:, :] = dc_prev
 
 
+def _bwd_step(acts, c_prev, c, dy, dh_in, dc_in, whh_t_ref):
+    """One reverse step of the dh/dc chain; returns (dgates, dh_prev,
+    dc_prev)."""
+    hdim = dh_in.shape[-1]
+    i = acts[:, :hdim]
+    f = acts[:, hdim:2 * hdim]
+    g = acts[:, 2 * hdim:3 * hdim]
+    o = acts[:, 3 * hdim:]
+    tanh_c = jnp.tanh(c)
+    dh = dy + dh_in
+    do = dh * tanh_c
+    dc = dh * o * (1.0 - tanh_c * tanh_c) + dc_in
+    dgates = jnp.concatenate(
+        [dc * g * i * (1.0 - i),
+         dc * c_prev * f * (1.0 - f),
+         dc * i * (1.0 - g * g),
+         do * o * (1.0 - o)], axis=1)                  # (B, 4H)
+    dh_prev = jnp.dot(dgates.astype(whh_t_ref.dtype), whh_t_ref[:, :],
+                      preferred_element_type=jnp.float32)
+    return dgates, dh_prev, dc * f
+
+
+def _bwd_kernel2(acts_ref, cprev_ref, c_ref, dys_ref, whh_t_ref,
+                 dhT_ref, dcT_ref, dg_ref, dh0_ref, dc0_ref, dh_s, dc_s,
+                 *, t_len):
+    """Two reverse time steps per grid step (row 1 = later t first)."""
+    s = pl.program_id(0)
+
+    @pl.when(s == 0)
+    def _():
+        dh_s[:, :] = dhT_ref[:, :]
+        dc_s[:, :] = dcT_ref[:, :]
+
+    dh = dh_s[:, :]
+    dc = dc_s[:, :]
+    for k in (1, 0):
+        dgates, dh, dc = _bwd_step(
+            acts_ref[k], cprev_ref[k], c_ref[k], dys_ref[k], dh, dc,
+            whh_t_ref)
+        dg_ref[k] = dgates
+    dh_s[:, :] = dh
+    dc_s[:, :] = dc
+    dh0_ref[:, :] = dh
+    dc0_ref[:, :] = dc
+
+
 def _run_bwd(acts, cs_prev, cs, dys, w_hh_t, dhT, dcT):
     acts = jnp.swapaxes(acts, 0, 1)            # (T, B, 4H)
     cs_prev = jnp.swapaxes(cs_prev, 0, 1)
@@ -157,23 +244,28 @@ def _run_bwd(acts, cs_prev, cs, dys, w_hh_t, dhT, dcT):
     dys = jnp.swapaxes(dys, 0, 1)
     T, B, H4 = acts.shape
     H = H4 // 4
-    kernel = functools.partial(_bwd_kernel, t_len=T)
-    rev3 = lambda s: (T - 1 - s, 0, 0)
+    steps = 2 if T % 2 == 0 and T >= 4 else 1
+    if steps == 2:
+        kernel = functools.partial(_bwd_kernel2, t_len=T)
+        rev3 = lambda s: (T // 2 - 1 - s, 0, 0)
+    else:
+        kernel = functools.partial(_bwd_kernel, t_len=T)
+        rev3 = lambda s: (T - 1 - s, 0, 0)
     fixed = lambda s: (0, 0)
     dgates, dh0, dc0 = pl.pallas_call(
         kernel,
-        grid=(T,),
+        grid=(T // steps,),
         in_specs=[
-            pl.BlockSpec((1, B, H4), rev3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B, H), rev3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B, H), rev3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B, H), rev3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((steps, B, H4), rev3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((steps, B, H), rev3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((steps, B, H), rev3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((steps, B, H), rev3, memory_space=pltpu.VMEM),
             pl.BlockSpec((H4, H), fixed, memory_space=pltpu.VMEM),
             pl.BlockSpec((B, H), fixed, memory_space=pltpu.VMEM),
             pl.BlockSpec((B, H), fixed, memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, B, H4), rev3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((steps, B, H4), rev3, memory_space=pltpu.VMEM),
             pl.BlockSpec((B, H), fixed, memory_space=pltpu.VMEM),
             pl.BlockSpec((B, H), fixed, memory_space=pltpu.VMEM),
         ],

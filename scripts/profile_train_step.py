@@ -58,8 +58,16 @@ def harness_canary(expect_ms=0.73, tol=0.25):
 
 
 def main():
+    import argparse
     import jax
     import jax.numpy as jnp
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--batch', type=int, default=16)
+    ap.add_argument('--parts', action='store_true',
+                    help='also time the encoder sub-parts (recurrence '
+                         'kernels vs input-projection matmuls)')
+    args = ap.parse_args()
 
     harness_canary()
 
@@ -71,7 +79,7 @@ def main():
         enc_hidden_size=1024, enc_layers=6, enc_proj_size=640,
         dec_hidden_size=256, dec_layers=2, dec_proj_size=256,
         joint_size=640, enc_time_reductions=(1,))
-    B, t_ds, u = 16, 372, 60
+    B, t_ds, u = args.batch, 372, 60
     rng = np.random.RandomState(0)
     params = T.transducer_init(jax.random.PRNGKey(0), cfg)
     xs = jnp.asarray(rng.randn(B, t_ds, cfg.input_size), jnp.bfloat16)
@@ -124,6 +132,51 @@ def main():
     print(f'joint+lattice loss f+b:   {loss_ms:7.2f} ms '
           f'(h_enc {tuple(h_enc.shape)}, h_dec {tuple(h_dec.shape)})')
     print(f'full loss fwd+bwd:        {full_ms:7.2f} ms')
+
+    if args.parts:
+        from edgedict_tpu.ops.rnn_pallas import lstm_recurrence_pallas
+        H = cfg.enc_hidden_size
+        t_half = -(-t_ds // 2)
+        layer_ts = [t_ds, t_ds] + [t_half] * (cfg.enc_layers - 2)
+
+        for label, fb in (('fwd', False), ('fwd+bwd', True)):
+            total = 0.0
+            for li, t_l in enumerate(layer_ts):
+                xp = jnp.asarray(rng.randn(B, t_l, 4 * H), jnp.float32)
+                wt = jnp.asarray(rng.randn(H, 4 * H) * 0.02, jnp.bfloat16)
+                h0 = jnp.zeros((B, H), jnp.float32)
+                if fb:
+                    fn = jax.jit(lambda xp, wt, h0: jax.grad(
+                        lambda xp: jnp.sum(lstm_recurrence_pallas(
+                            xp, wt, h0, h0)[0]))(xp))
+                else:
+                    fn = jax.jit(lambda xp, wt, h0: lstm_recurrence_pallas(
+                        xp, wt, h0, h0)[0])
+                ms = chain_time(fn, (xp, wt, h0))
+                total += ms
+                if li in (0, 2):     # layers 1,3-5 repeat shapes 0/2
+                    print(f'  recurrence L{li} T={t_l} {label}: '
+                          f'{ms:6.2f} ms')
+            print(f'  recurrence 6 layers {label} total: {total:6.2f} ms')
+
+        # hoisted input projections: (B,T,in)@(in,4H) per layer
+        @jax.jit
+        def projections(x):
+            outs = []
+            t = x
+            in_size = cfg.input_size
+            for li, t_l in enumerate(layer_ts):
+                w = jnp.asarray(
+                    rng.randn(4 * H, in_size) * 0.02, jnp.bfloat16)
+                xi = jnp.asarray(
+                    rng.randn(B, t_l, in_size), jnp.bfloat16)
+                outs.append(jax.lax.dot_general(
+                    xi, w, (((2,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32))
+                in_size = H
+            return [o.sum() for o in outs]
+        proj_ms = chain_time(projections, (xs,))
+        print(f'  input projections (6 layers, fwd): {proj_ms:6.2f} ms')
 
 
 if __name__ == '__main__':

@@ -22,7 +22,7 @@ def _free_port():
     return port
 
 
-@pytest.mark.slow
+@pytest.mark.graded
 def test_two_process_distributed_training(tmp_path):
     from tests.test_cli_baseline import _make_corpus
     corpus = str(tmp_path / 'libri')

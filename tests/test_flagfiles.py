@@ -35,19 +35,30 @@ from edgedict_tpu.models import transducer as T
 from edgedict_tpu.features import FeatureConfig
 import jax
 spec = json.loads(sys.argv[1])
+materialized = 0
 for ff, expected in spec.items():
     FLAGS.unparse_flags()
     FLAGS(['prog', '--flagfile', ff])
     for k, v in expected.items():
         got = getattr(FLAGS, k)
         assert got == v, (ff, k, got, v)
-    # the preset must produce a buildable model config + param tree
+    # the preset must produce a buildable model config + param tree;
+    # eval_shape validates the full tree's shape math without paying
+    # ~8 s/preset of CPU random init — the smallest preset (E4D1) is
+    # additionally materialized for real below
     fcfg = FeatureConfig.from_flags(FLAGS)
     cfg = T.TransducerConfig.from_flags(FLAGS, vocab_size=FLAGS.bpe_size,
                                         input_size=fcfg.input_size)
-    params = T.transducer_init(jax.random.PRNGKey(0), cfg)
-    n = sum(p.size for p in jax.tree_util.tree_leaves(params))
+    tree = jax.eval_shape(lambda k: T.transducer_init(k, cfg),
+                          jax.random.PRNGKey(0))
+    n = sum(p.size for p in jax.tree_util.tree_leaves(tree))
     assert n > 1_000_000, (ff, n)
+    if 'E4D1' in ff:
+        params = T.transducer_init(jax.random.PRNGKey(0), cfg)
+        assert all(jax.numpy.isfinite(p).all()
+                   for p in jax.tree_util.tree_leaves(params))
+        materialized += 1
+assert materialized == 1
 print('OK')
 '''
 

@@ -129,7 +129,7 @@ def _make_corpus(root, n=4, seconds=0.5, sr=16000):
         f.write('\n'.join(lines) + '\n')
 
 
-@pytest.mark.slow
+@pytest.mark.graded
 def test_wer_parity_runbook_full_scale(tmp_path):
     """The WER-parity runbook rehearsed at FULL E6D2 scale (6×1024
     encoder, 2×256 prediction net, 640 proj/joint, the bundled reference

@@ -183,8 +183,9 @@ def test_train_step_routes_fused_joint_on_dp_mesh(monkeypatch):
 
 def test_eligibility_gate(monkeypatch):
     monkeypatch.setenv('EDGEDICT_PALLAS_JOINT', 'force')
+    from edgedict_tpu.ops import joint_lse_pallas as JL
     assert joint_lse_eligible(61, 640, 2048)
-    assert not joint_lse_eligible(200, 640, 2048)   # U+1 > 128
+    assert not joint_lse_eligible(JL.ROWS + 1, 640, 2048)  # U+1 > ROWS
     assert not joint_lse_eligible(61, 100, 2048)    # J not 128-aligned
     monkeypatch.setenv('EDGEDICT_PALLAS_JOINT', '0')
     assert not joint_lse_eligible(61, 640, 2048)

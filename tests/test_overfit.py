@@ -34,7 +34,7 @@ def _utterance(rng, token_seq, seg=0.12):
     return np.concatenate(audio).astype(np.float32)
 
 
-@pytest.mark.slow
+@pytest.mark.graded
 def test_overfit_tone_language():
     rng = np.random.RandomState(0)
     seqs = [[4, 5, 6, 7], [7, 6, 5, 4], [4, 6, 4, 6], [5, 7, 5, 7]]

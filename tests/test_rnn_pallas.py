@@ -262,3 +262,28 @@ def test_gru_train_step_routes_pallas_on_dp_mesh(monkeypatch):
         # (tests run with --xla_backend_optimization_level=0, conftest.py)
         np.testing.assert_allclose(np.asarray(b_), np.asarray(a),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_vjp_parity_odd_and_tiny_t():
+    """Odd T and T<4 take the 1-step kernel; even T>=4 the 2-step kernel —
+    all must match the scan exactly."""
+    from edgedict_tpu.ops import rnn as rnn_ops
+    from edgedict_tpu.ops.rnn_pallas import lstm_layer_pallas
+    import jax.numpy as jnp
+
+    for t in (2, 3, 7, 8):
+        params, xs, state = _setup(t=t, seed=100 + t)
+
+        def loss(layer):
+            def f(p, x, s):
+                ys, (h, c) = layer(p, x, s)
+                return (jnp.sum(ys ** 2) + jnp.sum(h * c)
+                        + jnp.sum(jnp.abs(h)))
+            return f
+
+        g_s = jax.grad(loss(rnn_ops.lstm_layer), argnums=(0, 1, 2))(
+            params, xs, state)
+        g_p = jax.grad(loss(lstm_layer_pallas), argnums=(0, 1, 2))(
+            params, xs, state)
+        jax.tree.map(lambda a, b: np.testing.assert_allclose(
+            a, b, rtol=2e-5, atol=2e-5), g_s, g_p)
