@@ -53,7 +53,12 @@ def test_two_process_distributed_training(tmp_path):
         '--loss_step', '1', '--save_step', '1000', '--eval_step', '1000',
         '--epochs', '1', '--gradclip', '5',
         '--dp_size', '-1', '--tp_size', '1',
-        '--compilation_cache_dir', '',
+        # persistent XLA cache: both child processes compile the same
+        # 4-device train step — warm suite runs skip it entirely (the
+        # jax cache is concurrency-safe: atomic temp-file renames)
+        '--compilation_cache_dir',
+        os.environ.get('JAX_COMPILATION_CACHE_DIR',
+                       os.path.expanduser('~/.cache/edgedict_tpu_xla_cpu')),
     ]
     # pre-build the char tokenizer cache so both processes agree
     import pickle
@@ -68,7 +73,10 @@ def test_two_process_distributed_training(tmp_path):
     procs = []
     for pid in (0, 1):
         env = dict(os.environ, JAX_PLATFORMS='cpu',
-                   XLA_FLAGS='--xla_force_host_platform_device_count=2',
+                   XLA_FLAGS='--xla_force_host_platform_device_count=2'
+                             ' --xla_backend_optimization_level=0'
+                             ' --xla_llvm_disable_expensive_passes=true',
+                   JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS='0.1',
                    PYTHONPATH=REPO)
         procs.append(subprocess.Popen(
             [sys.executable, '-m', 'cli.distributed',
