@@ -98,6 +98,16 @@ def time_reduction(xs, factor):
     return jnp.mean(xs, axis=2)
 
 
+def time_reduction_tm(xs, factor):
+    """time_reduction for time-major (T, B, H) activations."""
+    t, b, h = xs.shape
+    pad = (-t) % factor
+    if pad:
+        xs = jnp.pad(xs, ((0, pad), (0, 0), (0, 0)))
+    xs = xs.reshape(-1, factor, b, h)
+    return jnp.mean(xs, axis=1)
+
+
 # ---------------------------------------------------------------------------
 # encoder
 # ---------------------------------------------------------------------------
@@ -139,25 +149,34 @@ def encoder_apply(params, cfg: TransducerConfig, xs, state=None,
     is_lstm = cfg.module_type == 'LSTM'
     if state is None:
         state = encoder_zero_state(cfg, xs.shape[0])
+    # Time-major internally: the recurrence kernels and the lax.scan
+    # fallback both iterate the leading axis, so running the whole stack
+    # (T, B, ·) removes two ~200 MB HBM transposes per layer per direction
+    # that XLA cannot fuse into the Pallas custom calls (measured ~12 ms
+    # of the E6D2/B=32 encoder fwd+bwd).  Only the small model inputs and
+    # outputs transpose, once each.
+    xs = jnp.swapaxes(xs, 0, 1)
     xs = layer_norm(params['norm'], xs)
     new_h, new_c = [], []
     for i, layer in enumerate(params['layers']):
         if is_lstm:
             hs, cs = state
-            ys, (h, c) = rnn_ops.lstm_layer(layer['rnn'], xs, (hs[i], cs[i]))
+            ys, (h, c) = rnn_ops.lstm_layer_tm(layer['rnn'], xs,
+                                               (hs[i], cs[i]))
             new_c.append(c)
         else:
-            ys, h = rnn_ops.gru_layer(layer['rnn'], xs, state[i])
+            ys, h = rnn_ops.gru_layer_tm(layer['rnn'], xs, state[i])
         new_h.append(h)
         # residual add from layer 2 on (reference rnnt/models.py:66-69)
         xs = xs + ys if i != 0 else ys
         xs = layer_norm(layer['ln'], xs)
         if i in cfg.enc_time_reductions:
-            xs = time_reduction(xs, cfg.reduction_factor)
+            xs = time_reduction_tm(xs, cfg.reduction_factor)
         if not deterministic and cfg.enc_dropout > 0 and rng is not None:
             rng, sub = jax.random.split(rng)
             xs = dropout(sub, xs, cfg.enc_dropout, deterministic=False)
     xs = linear(params['proj'], xs)
+    xs = jnp.swapaxes(xs, 0, 1)
     if is_lstm:
         new_state = (jnp.stack(new_h), jnp.stack(new_c))
     else:

@@ -78,7 +78,8 @@ def _pallas_mode(env='EDGEDICT_PALLAS_LSTM'):
     return os.environ.get(env, '1')
 
 
-def _pallas_eligible(xs, hidden, env='EDGEDICT_PALLAS_LSTM'):
+def _pallas_eligible(xs, hidden, env='EDGEDICT_PALLAS_LSTM',
+                     time_major=False):
     """The Pallas recurrence needs tile-aligned per-shard (B, H) and pays
     off for multi-step sequences; streaming B=1 and odd shapes use the
     scan.  Under an active mesh_context the batch eligibility is checked
@@ -89,7 +90,10 @@ def _pallas_eligible(xs, hidden, env='EDGEDICT_PALLAS_LSTM'):
         return False
     if mode != 'force' and jax.default_backend() != 'tpu':
         return False
-    b, t, _ = xs.shape
+    if time_major:
+        t, b, _ = xs.shape
+    else:
+        b, t, _ = xs.shape
     ctx = current_mesh()
     if ctx is not None:
         mesh, axis = ctx
@@ -154,6 +158,83 @@ def lstm_layer(params, xs, state):
     ys = jnp.swapaxes(ys, 0, 1).astype(dtype)
     del hidden
     return ys, (h.astype(h0.dtype), c.astype(c0.dtype))
+
+
+def _route_pallas(fn_name, params, xs, state):
+    import edgedict_tpu.ops.rnn_pallas as rp
+    fn = getattr(rp, fn_name)
+    ctx = current_mesh()
+    if ctx is not None and dict(ctx[0].shape).get(ctx[1], 1) > 1:
+        return fn(params, xs, state, mesh=ctx[0], batch_axis=ctx[1])
+    return fn(params, xs, state)
+
+
+def lstm_layer_tm(params, xs, state):
+    """Time-major single-layer LSTM: xs (T, B, in) → (ys (T, B, H),
+    (h, c)).
+
+    The encoder's internal layout (models/transducer.py): the Pallas
+    recurrence kernels are time-major, so batch-major callers pay two
+    ~200 MB HBM transposes per layer per direction that XLA cannot fuse
+    into the custom call.  The scan fallback is naturally time-major too
+    (lax.scan carries the leading axis) — this path has NO transposes."""
+    h0, c0 = state
+    if _pallas_eligible(xs, h0.shape[-1], time_major=True):
+        return _route_pallas('lstm_layer_tm', params, xs, state)
+    dtype = xs.dtype
+    w_ih = params['w_ih'].astype(dtype)
+    w_hh = params['w_hh'].astype(jnp.float32)
+    bias = (params['b_ih'] + params['b_hh']).astype(jnp.float32)
+    x_proj = jax.lax.dot_general(
+        xs, w_ih, (((2,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)  # (T, B, 4H)
+
+    def step(carry, x_t):
+        h, c = carry
+        gates = x_t + bias + jnp.dot(h, w_hh.T,
+                                     preferred_element_type=jnp.float32)
+        i, f, g, o = jnp.split(gates, 4, axis=-1)
+        i = jax.nn.sigmoid(i)
+        f = jax.nn.sigmoid(f)
+        g = jnp.tanh(g)
+        o = jax.nn.sigmoid(o)
+        c = f * c + i * g
+        h = o * jnp.tanh(c)
+        return (h, c), h
+
+    (h, c), ys = jax.lax.scan(
+        step, (h0.astype(jnp.float32), c0.astype(jnp.float32)), x_proj)
+    return ys.astype(dtype), (h.astype(h0.dtype), c.astype(c0.dtype))
+
+
+def gru_layer_tm(params, xs, state):
+    """Time-major single-layer GRU: xs (T, B, in) → (ys (T, B, H), h)."""
+    h0 = state
+    if _pallas_eligible(xs, h0.shape[-1], env='EDGEDICT_PALLAS_GRU',
+                        time_major=True):
+        return _route_pallas('gru_layer_tm', params, xs, state)
+    dtype = xs.dtype
+    w_ih = params['w_ih'].astype(dtype)
+    w_hh = params['w_hh'].astype(jnp.float32)
+    b_ih = params['b_ih'].astype(jnp.float32)
+    b_hh = params['b_hh'].astype(jnp.float32)
+    x_proj = jax.lax.dot_general(
+        xs, w_ih, (((2,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) + b_ih  # (T, B, 3H)
+
+    def step(h, x_t):
+        h_proj = jnp.dot(h, w_hh.T,
+                         preferred_element_type=jnp.float32) + b_hh
+        xr, xz, xn = jnp.split(x_t, 3, axis=-1)
+        hr, hz, hn = jnp.split(h_proj, 3, axis=-1)
+        r = jax.nn.sigmoid(xr + hr)
+        z = jax.nn.sigmoid(xz + hz)
+        n = jnp.tanh(xn + r * hn)
+        h = (1.0 - z) * n + z * h
+        return h, h
+
+    h, ys = jax.lax.scan(step, h0.astype(jnp.float32), x_proj)
+    return ys.astype(dtype), h.astype(h0.dtype)
 
 
 def gru_layer(params, xs, state):

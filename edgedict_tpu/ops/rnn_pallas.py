@@ -1,27 +1,54 @@
-"""Pallas TPU kernel for the LSTM time recurrence — the encoder's hot loop.
+"""Pallas TPU kernels for the LSTM/GRU time recurrence — the encoder's hot
+loop.
 
-The scan-based layer (ops/rnn.py) hoists the input projection into one big
-MXU matmul and scans the small recurrence; XLA compiles that scan as a
-device loop.  This kernel replaces the scan with a Pallas grid over T: TPU
-grid steps execute sequentially with automatic HBM↔VMEM pipelining of the
-per-step tiles, while (h, c) live in VMEM scratch across steps and the
-recurrent weight stays VMEM-resident.  Per step: one (B,H)@(H,4H) MXU
-matmul + fused VPU gates.
+TPU-native replacement for the reference's cuDNN `nn.LSTM`/`nn.GRU`
+(/root/reference/rnnt/models.py:46,91).  The scan-based layer (ops/rnn.py)
+hoists the input projection into one big MXU matmul and scans the small
+recurrence; this module replaces the scan with a Pallas grid over time.
 
-Work split (keeps VMEM small and MXU fed):
-  * forward kernel: the full recurrence; emits ys and the cell sequence.
-  * backward: XLA recomputes the gate activations with ONE big matmul
-    (x_proj + ys_prev @ W_hh^T — standard rematerialization), the kernel
-    runs only the sequential dh/dc chain (elementwise + one (B,4H)@(4H,H)
-    matmul per step), and dW_hh/db reduce OUTSIDE as one big matmul over
-    the emitted dgates.
+Design (round-3 rework, measured on v5e):
 
-`lstm_recurrence_pallas` is a custom-vjp drop-in for the scan recurrence
-(PyTorch gate order i,f,g,o; fp32 state).  Interpret mode keeps CPU tests
+  * TIME-MAJOR END-TO-END.  Everything here takes and returns (T, B, ...)
+    arrays.  The previous batch-major API wrapped every kernel in
+    jnp.swapaxes of ~200 MB-class arrays (x_proj at E6D2/B=32 is 195 MB).
+    Same-session A/B at E6D2/B=32 measured this rework perf-NEUTRAL
+    end-to-end (53.4 ms batch-major vs 53.6 time-major at k=2): XLA's
+    layout assignment was already eliding the transposes around the
+    custom calls.  Kept because it makes that elision structural instead
+    of an optimizer courtesy, and the encoder's internal layout now
+    matches what every recurrence consumer (scan fallback included)
+    actually iterates.
+  * K TIMESTEPS PER GRID BLOCK (default 2).  Per-grid-step overhead is
+    the serial-latency tax of the recurrence; unrolling k steps per block
+    amortizes it in isolation (kernel microbench: 2.98 us/step at k=1,
+    2.0 at k=2, ~1.1-1.5 at k=8..16 at B=32, H=1024) — but the
+    END-TO-END train step is fastest at k=2 and degrades monotonically
+    with larger blocks (same-session A/B at E6D2/B=32: 53.6 ms at k=2,
+    55.0 at k=4, 55.7 at k=8/16): bigger blocks serialize more compute
+    behind each input-block DMA and shrink the grid the pipeliner can
+    overlap.  T is zero-padded to a multiple of k; padded tail steps
+    compute garbage that is (a) sliced off, (b) provably zero in the
+    backward chain (zero cotangents stay zero through the pad).  Final
+    states are the t_len-1 rows of the emitted sequences, so padding
+    never corrupts streaming state.
+  * VMEM: the recurrent weight stays VMEM-resident in bf16 (fp32 gate
+    accumulation).  The default 16 MB scoped-vmem limit is raised via
+    CompilerParams — v5e accepts >=100 MB — which is what makes k>=4
+    blocks (and future multi-layer residency) possible at H=1024.
+  * Backward: XLA rematerializes the gate activations with ONE big matmul
+    (x_proj + ys_prev @ W_hh^T); the kernel runs only the sequential
+    dh/dc chain (elementwise + one (B,4H)@(4H,H) matmul per step) and
+    dW_hh/db reduce OUTSIDE as one big matmul over the emitted dgates.
+
+`lstm_recurrence_tm` / `gru_recurrence_tm` are the custom-vjp primitives
+(PyTorch gate orders i,f,g,o / r,z,n; fp32 state).  Batch-major wrappers
+(`lstm_layer_pallas`, `gru_layer_pallas`) remain for non-encoder callers
+(decoder prediction net) and tests.  Interpret mode keeps CPU tests
 hermetic.
 """
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -33,38 +60,30 @@ def _interpret():
     return jax.default_backend() != 'tpu'
 
 
+def _block_len(t):
+    """Timesteps per grid block: amortizes per-grid-step overhead.  Env
+    override EDGEDICT_LSTM_BLOCK for tuning."""
+    k = int(os.environ.get('EDGEDICT_LSTM_BLOCK', '2'))
+    return max(1, min(k, t))
+
+
+_VMEM_LIMIT = 100 * 1024 * 1024     # v5e scoped-vmem ceiling probe: OK
+
+
+def _compiler_params():
+    return pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT)
+
+
+def _pad_t(x, tp):
+    t = x.shape[0]
+    if t == tp:
+        return x
+    return jnp.pad(x, ((0, tp - t),) + ((0, 0),) * (x.ndim - 1))
+
+
 # ---------------------------------------------------------------------------
-# forward
+# LSTM forward
 # ---------------------------------------------------------------------------
-
-def _fwd_kernel(xp_ref, whh_ref, h0_ref, c0_ref,
-                ys_ref, cs_ref, hT_ref, cT_ref, h_s, c_s, *, t_len):
-    t = pl.program_id(0)
-
-    @pl.when(t == 0)
-    def _():
-        h_s[:, :] = h0_ref[:, :]
-        c_s[:, :] = c0_ref[:, :]
-
-    h = h_s[:, :]
-    c = c_s[:, :]
-    gates = xp_ref[0] + jnp.dot(
-        h.astype(whh_ref.dtype), whh_ref[:, :],
-        preferred_element_type=jnp.float32)
-    hdim = h.shape[-1]
-    i = jax.nn.sigmoid(gates[:, :hdim])
-    f = jax.nn.sigmoid(gates[:, hdim:2 * hdim])
-    g = jnp.tanh(gates[:, 2 * hdim:3 * hdim])
-    o = jax.nn.sigmoid(gates[:, 3 * hdim:])
-    c = f * c + i * g
-    h = o * jnp.tanh(c)
-    ys_ref[0] = h
-    cs_ref[0] = c
-    h_s[:, :] = h
-    c_s[:, :] = c
-    hT_ref[:, :] = h
-    cT_ref[:, :] = c
-
 
 def _lstm_cell(gates, c):
     hdim = c.shape[-1]
@@ -76,11 +95,8 @@ def _lstm_cell(gates, c):
     return o * jnp.tanh(c), c
 
 
-def _fwd_kernel2(xp_ref, whh_ref, h0_ref, c0_ref,
-                 ys_ref, cs_ref, hT_ref, cT_ref, h_s, c_s, *, t_len):
-    """Two time steps per grid step: same matmul/VPU work, half the grid
-    iterations — the per-step pipeline/semaphore overhead was the dominant
-    cost at B≈32 (the matmuls are M-streamed, not 128-row-padded)."""
+def _fwd_kernel(xp_ref, whh_ref, h0_ref, c0_ref,
+                ys_ref, cs_ref, h_s, c_s, *, k):
     t = pl.program_id(0)
 
     @pl.when(t == 0)
@@ -90,35 +106,30 @@ def _fwd_kernel2(xp_ref, whh_ref, h0_ref, c0_ref,
 
     h = h_s[:, :]
     c = c_s[:, :]
-    for k in range(2):
-        gates = xp_ref[k] + jnp.dot(
+    for j in range(k):
+        gates = xp_ref[j] + jnp.dot(
             h.astype(whh_ref.dtype), whh_ref[:, :],
             preferred_element_type=jnp.float32)
         h, c = _lstm_cell(gates, c)
-        ys_ref[k] = h
-        cs_ref[k] = c
+        ys_ref[j] = h
+        cs_ref[j] = c
     h_s[:, :] = h
     c_s[:, :] = c
-    hT_ref[:, :] = h
-    cT_ref[:, :] = c
 
 
 def _run_fwd(x_proj, w_hh_t, h0, c0):
-    # time-major internally: Mosaic needs the last two block dims
-    # tile-aligned, so T is the leading (grid) axis
-    x_proj = jnp.swapaxes(x_proj, 0, 1)        # (T, B, 4H)
+    """x_proj: (T, B, 4H) fp32 (incl. bias).  Returns (ys, cs) over the
+    PADDED Tp; callers slice [:T] and read final state at [T-1]."""
     T, B, H4 = x_proj.shape
     H = H4 // 4
-    steps = 2 if T % 2 == 0 and T >= 4 else 1
-    if steps == 2:
-        kernel = functools.partial(_fwd_kernel2, t_len=T)
-    else:
-        kernel = functools.partial(_fwd_kernel, t_len=T)
-    ys, cs, hT, cT = pl.pallas_call(
-        kernel,
-        grid=(T // steps,),
+    k = _block_len(T)
+    tp = -(-T // k) * k
+    x_proj = _pad_t(x_proj, tp)
+    ys, cs = pl.pallas_call(
+        functools.partial(_fwd_kernel, k=k),
+        grid=(tp // k,),
         in_specs=[
-            pl.BlockSpec((steps, B, H4), lambda t: (t, 0, 0),
+            pl.BlockSpec((k, B, H4), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((H, H4), lambda t: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -128,72 +139,28 @@ def _run_fwd(x_proj, w_hh_t, h0, c0):
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((steps, B, H), lambda t: (t, 0, 0),
+            pl.BlockSpec((k, B, H), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((steps, B, H), lambda t: (t, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, H), lambda t: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, H), lambda t: (0, 0),
+            pl.BlockSpec((k, B, H), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((T, B, H), jnp.float32),
-            jax.ShapeDtypeStruct((T, B, H), jnp.float32),
-            jax.ShapeDtypeStruct((B, H), jnp.float32),
-            jax.ShapeDtypeStruct((B, H), jnp.float32),
+            jax.ShapeDtypeStruct((tp, B, H), jnp.float32),
+            jax.ShapeDtypeStruct((tp, B, H), jnp.float32),
         ],
         scratch_shapes=[pltpu.VMEM((B, H), jnp.float32),
                         pltpu.VMEM((B, H), jnp.float32)],
+        compiler_params=_compiler_params(),
         interpret=_interpret(),
     )(x_proj, w_hh_t, h0, c0)
-    return (jnp.swapaxes(ys, 0, 1), jnp.swapaxes(cs, 0, 1), hT, cT)
+    return ys, cs
 
 
 # ---------------------------------------------------------------------------
-# backward (sequential part only)
+# LSTM backward (sequential dh/dc chain only)
 # ---------------------------------------------------------------------------
-
-def _bwd_kernel(acts_ref, cprev_ref, c_ref, dys_ref, whh_t_ref,
-                dhT_ref, dcT_ref, dg_ref, dh0_ref, dc0_ref, dh_s, dc_s,
-                *, t_len):
-    s = pl.program_id(0)          # processes t = T−1−s
-
-    @pl.when(s == 0)
-    def _():
-        dh_s[:, :] = dhT_ref[:, :]
-        dc_s[:, :] = dcT_ref[:, :]
-
-    hdim = dh_s.shape[-1]
-    acts = acts_ref[0]
-    i = acts[:, :hdim]
-    f = acts[:, hdim:2 * hdim]
-    g = acts[:, 2 * hdim:3 * hdim]
-    o = acts[:, 3 * hdim:]
-    c_prev = cprev_ref[0]
-    tanh_c = jnp.tanh(c_ref[0])
-
-    dh = dys_ref[0] + dh_s[:, :]
-    do = dh * tanh_c
-    dc = dh * o * (1.0 - tanh_c * tanh_c) + dc_s[:, :]
-    dgates = jnp.concatenate(
-        [dc * g * i * (1.0 - i),
-         dc * c_prev * f * (1.0 - f),
-         dc * i * (1.0 - g * g),
-         do * o * (1.0 - o)], axis=1)                      # (B, 4H)
-    dg_ref[0] = dgates
-    dh_prev = jnp.dot(dgates.astype(whh_t_ref.dtype), whh_t_ref[:, :],
-                      preferred_element_type=jnp.float32)
-    dc_prev = dc * f
-    dh_s[:, :] = dh_prev
-    dc_s[:, :] = dc_prev
-    dh0_ref[:, :] = dh_prev
-    dc0_ref[:, :] = dc_prev
-
 
 def _bwd_step(acts, c_prev, c, dy, dh_in, dc_in, whh_t_ref):
-    """One reverse step of the dh/dc chain; returns (dgates, dh_prev,
-    dc_prev)."""
     hdim = dh_in.shape[-1]
     i = acts[:, :hdim]
     f = acts[:, hdim:2 * hdim]
@@ -213,24 +180,34 @@ def _bwd_step(acts, c_prev, c, dy, dh_in, dc_in, whh_t_ref):
     return dgates, dh_prev, dc * f
 
 
-def _bwd_kernel2(acts_ref, cprev_ref, c_ref, dys_ref, whh_t_ref,
-                 dhT_ref, dcT_ref, dg_ref, dh0_ref, dc0_ref, dh_s, dc_s,
-                 *, t_len):
-    """Two reverse time steps per grid step (row 1 = later t first)."""
+def _bwd_kernel(acts_ref, cprev_ref, c_ref, dys_ref, whh_t_ref,
+                dhT_ref, dcT_ref, dg_ref, dh0_ref, dc0_ref, dh_s, dc_s,
+                *, k, j_final):
+    """Block s processes t = Tp-1-(s*k+j), j=0..k-1 (reverse time).  The
+    final-state cotangents (dhT, dcT) belong to t = T-1, i.e. block 0,
+    inner index j_final = Tp - T (static); `sel` gates them to block 0 so
+    padded tail steps (j < j_final) see pure-zero cotangents and emit
+    zeros."""
     s = pl.program_id(0)
 
     @pl.when(s == 0)
     def _():
-        dh_s[:, :] = dhT_ref[:, :]
-        dc_s[:, :] = dcT_ref[:, :]
+        dh_s[:, :] = jnp.zeros_like(dh_s)
+        dc_s[:, :] = jnp.zeros_like(dc_s)
 
     dh = dh_s[:, :]
     dc = dc_s[:, :]
-    for k in (1, 0):
+    sel = jnp.where(s == 0, 1.0, 0.0).astype(jnp.float32)
+    for j in range(k - 1, -1, -1):       # j descending == t ascending? no:
+        # rows within the block are stored time-ascending; reverse time
+        # means processing row k-1 first.
+        if j == j_final:
+            dh = dh + sel * dhT_ref[:, :]
+            dc = dc + sel * dcT_ref[:, :]
         dgates, dh, dc = _bwd_step(
-            acts_ref[k], cprev_ref[k], c_ref[k], dys_ref[k], dh, dc,
+            acts_ref[j], cprev_ref[j], c_ref[j], dys_ref[j], dh, dc,
             whh_t_ref)
-        dg_ref[k] = dgates
+        dg_ref[j] = dgates
     dh_s[:, :] = dh
     dc_s[:, :] = dc
     dh0_ref[:, :] = dh
@@ -238,75 +215,78 @@ def _bwd_kernel2(acts_ref, cprev_ref, c_ref, dys_ref, whh_t_ref,
 
 
 def _run_bwd(acts, cs_prev, cs, dys, w_hh_t, dhT, dcT):
-    acts = jnp.swapaxes(acts, 0, 1)            # (T, B, 4H)
-    cs_prev = jnp.swapaxes(cs_prev, 0, 1)
-    cs = jnp.swapaxes(cs, 0, 1)
-    dys = jnp.swapaxes(dys, 0, 1)
+    """All sequence args (T, B, ...) UNPADDED; returns (dgates (T,B,4H),
+    dh0, dc0)."""
     T, B, H4 = acts.shape
     H = H4 // 4
-    steps = 2 if T % 2 == 0 and T >= 4 else 1
-    if steps == 2:
-        kernel = functools.partial(_bwd_kernel2, t_len=T)
-        rev3 = lambda s: (T // 2 - 1 - s, 0, 0)
-    else:
-        kernel = functools.partial(_bwd_kernel, t_len=T)
-        rev3 = lambda s: (T - 1 - s, 0, 0)
+    k = _block_len(T)
+    tp = -(-T // k) * k
+    j_final = k - 1 - (tp - T)     # inner index of t = T-1 in block 0
+    acts = _pad_t(acts, tp)
+    cs_prev = _pad_t(cs_prev, tp)
+    cs = _pad_t(cs, tp)
+    dys = _pad_t(dys, tp)
+    rev = lambda s: (tp // k - 1 - s, 0, 0)
     fixed = lambda s: (0, 0)
     dgates, dh0, dc0 = pl.pallas_call(
-        kernel,
-        grid=(T // steps,),
+        functools.partial(_bwd_kernel, k=k, j_final=j_final),
+        grid=(tp // k,),
         in_specs=[
-            pl.BlockSpec((steps, B, H4), rev3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((steps, B, H), rev3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((steps, B, H), rev3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((steps, B, H), rev3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, B, H4), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, B, H), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, B, H), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, B, H), rev, memory_space=pltpu.VMEM),
             pl.BlockSpec((H4, H), fixed, memory_space=pltpu.VMEM),
             pl.BlockSpec((B, H), fixed, memory_space=pltpu.VMEM),
             pl.BlockSpec((B, H), fixed, memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((steps, B, H4), rev3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, B, H4), rev, memory_space=pltpu.VMEM),
             pl.BlockSpec((B, H), fixed, memory_space=pltpu.VMEM),
             pl.BlockSpec((B, H), fixed, memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((T, B, H4), jnp.float32),
+            jax.ShapeDtypeStruct((tp, B, H4), jnp.float32),
             jax.ShapeDtypeStruct((B, H), jnp.float32),
             jax.ShapeDtypeStruct((B, H), jnp.float32),
         ],
         scratch_shapes=[pltpu.VMEM((B, H), jnp.float32),
                         pltpu.VMEM((B, H), jnp.float32)],
+        compiler_params=_compiler_params(),
         interpret=_interpret(),
     )(acts, cs_prev, cs, dys, w_hh_t, dhT, dcT)
-    return jnp.swapaxes(dgates, 0, 1), dh0, dc0
+    return dgates[:T], dh0, dc0
 
 
 # ---------------------------------------------------------------------------
-# custom-vjp wrapper
+# LSTM custom-vjp wrapper (time-major)
 # ---------------------------------------------------------------------------
 
 @jax.custom_vjp
-def lstm_recurrence_pallas(x_proj, w_hh_t, h0, c0):
-    """(x_proj (B,T,4H) fp32 incl. bias, w_hh_t (H,4H), h0/c0 (B,H) fp32) →
-    (ys (B,T,H), hT (B,H), cT (B,H)) — the LSTM recurrence as one Pallas
-    kernel (PyTorch gate order i,f,g,o)."""
-    ys, cs, hT, cT = _run_fwd(x_proj, w_hh_t, h0, c0)
-    return ys, hT, cT
+def lstm_recurrence_tm(x_proj, w_hh_t, h0, c0):
+    """(x_proj (T,B,4H) fp32 incl. bias, w_hh_t (H,4H), h0/c0 (B,H) fp32)
+    → (ys (T,B,H), hT (B,H), cT (B,H)) — the LSTM recurrence as one Pallas
+    kernel, time-major (PyTorch gate order i,f,g,o)."""
+    T = x_proj.shape[0]
+    ys, cs = _run_fwd(x_proj, w_hh_t, h0, c0)
+    return ys[:T], ys[T - 1], cs[T - 1]
 
 
 def _vjp_fwd(x_proj, w_hh_t, h0, c0):
-    ys, cs, hT, cT = _run_fwd(x_proj, w_hh_t, h0, c0)
-    return (ys, hT, cT), (x_proj, w_hh_t, h0, c0, ys, cs)
+    T = x_proj.shape[0]
+    ys, cs = _run_fwd(x_proj, w_hh_t, h0, c0)
+    out = (ys[:T], ys[T - 1], cs[T - 1])
+    return out, (x_proj, w_hh_t, h0, c0, ys[:T], cs[:T])
 
 
 def _vjp_bwd(res, grads):
     x_proj, w_hh_t, h0, c0, ys, cs = res
     dys, dhT, dcT = grads
-    B, T, H4 = x_proj.shape
+    T, B, H4 = x_proj.shape
     H = H4 // 4
 
-    ys_prev = jnp.concatenate([h0[:, None], ys[:, :-1]], axis=1)
-    cs_prev = jnp.concatenate([c0[:, None], cs[:, :-1]], axis=1)
+    ys_prev = jnp.concatenate([h0[None], ys[:-1]], axis=0)
+    cs_prev = jnp.concatenate([c0[None], cs[:-1]], axis=0)
     # rematerialize gate activations with one big MXU matmul
     gates = x_proj + jax.lax.dot_general(
         ys_prev, w_hh_t, (((2,), (0,)), ((), ())),
@@ -323,57 +303,87 @@ def _vjp_bwd(res, grads):
         dcT.astype(jnp.float32))
 
     # weight grad reduces OUTSIDE as one big matmul over all steps
+    # (time-major (T*B, ·) reshapes are contiguous)
     dwhh_t = jax.lax.dot_general(
-        ys_prev.reshape(B * T, H), dgates.reshape(B * T, H4),
+        ys_prev.reshape(T * B, H), dgates.reshape(T * B, H4),
         (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
     # cotangent dtypes must match the primals (w_hh_t may be bf16)
     return dgates, dwhh_t.astype(w_hh_t.dtype), dh0, dc0
 
 
-lstm_recurrence_pallas.defvjp(_vjp_fwd, _vjp_bwd)
+lstm_recurrence_tm.defvjp(_vjp_fwd, _vjp_bwd)
 
 
-def lstm_layer_pallas(params, xs, state, recurrent_dtype=None, mesh=None,
-                      batch_axis='dp'):
-    """Drop-in for rnn_ops.lstm_layer backed by the Pallas recurrence.
+def lstm_recurrence_pallas(x_proj, w_hh_t, h0, c0):
+    """Batch-major compat wrapper: (x_proj (B,T,4H), …) → (ys (B,T,H), hT,
+    cT).  Encoder-scale callers should use lstm_recurrence_tm — this
+    wrapper pays two HBM transposes."""
+    ys, hT, cT = lstm_recurrence_tm(
+        jnp.swapaxes(x_proj, 0, 1), w_hh_t, h0, c0)
+    return jnp.swapaxes(ys, 0, 1), hT, cT
+
+
+def _lstm_xproj(params, xs, dtype):
+    """x W_ih^T + b as one big MXU matmul; works for (B,T,in) or (T,B,in)."""
+    w_ih = params['w_ih'].astype(dtype)
+    bias = (params['b_ih'] + params['b_hh']).astype(jnp.float32)
+    return jax.lax.dot_general(
+        xs, w_ih, (((2,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) + bias
+
+
+def _recurrent_dtype(recurrent_dtype):
+    if recurrent_dtype is None:
+        return (jnp.bfloat16 if jax.default_backend() == 'tpu'
+                else jnp.float32)
+    return recurrent_dtype
+
+
+def lstm_layer_tm(params, xs, state, recurrent_dtype=None, mesh=None,
+                  batch_axis='dp'):
+    """Time-major LSTM layer: xs (T, B, in) → (ys (T, B, H), (hT, cT)).
 
     recurrent_dtype: dtype of the VMEM-resident W_hh.  Defaults to bf16 on
-    TPU — a (H,4H) fp32 weight alone fills the 16 MB VMEM — and fp32
-    elsewhere (bit-parity with the scan layer for tests).  Gate math always
-    accumulates fp32.
+    TPU — fp32 weights double the resident footprint — and fp32 elsewhere
+    (bit-parity with the scan layer for tests).  Gates accumulate fp32.
 
     mesh: when given (and the batch axis has >1 shard), the sequential
     recurrence runs per-shard under shard_map with the batch split over
     `batch_axis` and weights replicated — the wiring that lets the kernel
     live inside a dp-sharded jitted train step (the input projection stays
     outside in GSPMD-land where XLA partitions it natively)."""
-    if recurrent_dtype is None:
-        recurrent_dtype = (jnp.bfloat16 if jax.default_backend() == 'tpu'
-                           else jnp.float32)
     h0, c0 = state
     dtype = xs.dtype
-    w_ih = params['w_ih'].astype(dtype)
-    bias = (params['b_ih'] + params['b_hh']).astype(jnp.float32)
-    x_proj = jax.lax.dot_general(
-        xs, w_ih, (((2,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32) + bias
-    w_hh_t = jnp.swapaxes(params['w_hh'], 0, 1).astype(recurrent_dtype)
+    x_proj = _lstm_xproj(params, xs, dtype)
+    w_hh_t = jnp.swapaxes(params['w_hh'], 0, 1).astype(
+        _recurrent_dtype(recurrent_dtype))
+    h0 = h0.astype(jnp.float32)
+    c0 = c0.astype(jnp.float32)
     if mesh is not None and dict(mesh.shape).get(batch_axis, 1) > 1:
-        ys, hT, cT = lstm_recurrence_pallas_sharded(
-            mesh, x_proj, w_hh_t, h0.astype(jnp.float32),
-            c0.astype(jnp.float32), batch_axis=batch_axis)
+        ys, hT, cT = _lstm_tm_sharded(mesh, x_proj, w_hh_t, h0, c0,
+                                      batch_axis=batch_axis)
     else:
-        ys, hT, cT = lstm_recurrence_pallas(
-            x_proj, w_hh_t, h0.astype(jnp.float32), c0.astype(jnp.float32))
-    return ys.astype(dtype), (hT.astype(h0.dtype), cT.astype(c0.dtype))
+        ys, hT, cT = lstm_recurrence_tm(x_proj, w_hh_t, h0, c0)
+    return ys.astype(dtype), (hT.astype(state[0].dtype),
+                              cT.astype(state[1].dtype))
+
+
+def lstm_layer_pallas(params, xs, state, recurrent_dtype=None, mesh=None,
+                      batch_axis='dp'):
+    """Batch-major drop-in for rnn_ops.lstm_layer backed by the Pallas
+    recurrence: xs (B, T, in) → (ys (B, T, H), (hT, cT)).  Used by the
+    decoder/prediction net (small U); the encoder uses lstm_layer_tm."""
+    ys, st = lstm_layer_tm(params, jnp.swapaxes(xs, 0, 1), state,
+                           recurrent_dtype=recurrent_dtype, mesh=mesh,
+                           batch_axis=batch_axis)
+    return jnp.swapaxes(ys, 0, 1), st
 
 
 # ---------------------------------------------------------------------------
-# GRU variant (torch gate semantics r,z,n; reference enc_type=GRU)
+# GRU (torch gate semantics r,z,n; reference enc_type=GRU)
 # ---------------------------------------------------------------------------
 
-def _gru_fwd_kernel(xp_ref, whh_ref, bhh_ref, h0_ref,
-                    ys_ref, hT_ref, h_s, *, t_len):
+def _gru_fwd_kernel(xp_ref, whh_ref, bhh_ref, h0_ref, ys_ref, h_s, *, k):
     t = pl.program_id(0)
 
     @pl.when(t == 0)
@@ -381,29 +391,30 @@ def _gru_fwd_kernel(xp_ref, whh_ref, bhh_ref, h0_ref,
         h_s[:, :] = h0_ref[:, :]
 
     h = h_s[:, :]
-    h_proj = jnp.dot(h.astype(whh_ref.dtype), whh_ref[:, :],
-                     preferred_element_type=jnp.float32) + bhh_ref[0]
     hdim = h.shape[-1]
-    xp = xp_ref[0]
-    r = jax.nn.sigmoid(xp[:, :hdim] + h_proj[:, :hdim])
-    z = jax.nn.sigmoid(xp[:, hdim:2 * hdim] + h_proj[:, hdim:2 * hdim])
-    n = jnp.tanh(xp[:, 2 * hdim:] + r * h_proj[:, 2 * hdim:])
-    h = (1.0 - z) * n + z * h
-    ys_ref[0] = h
+    for j in range(k):
+        h_proj = jnp.dot(h.astype(whh_ref.dtype), whh_ref[:, :],
+                         preferred_element_type=jnp.float32) + bhh_ref[0]
+        xp = xp_ref[j]
+        r = jax.nn.sigmoid(xp[:, :hdim] + h_proj[:, :hdim])
+        z = jax.nn.sigmoid(xp[:, hdim:2 * hdim] + h_proj[:, hdim:2 * hdim])
+        n = jnp.tanh(xp[:, 2 * hdim:] + r * h_proj[:, 2 * hdim:])
+        h = (1.0 - z) * n + z * h
+        ys_ref[j] = h
     h_s[:, :] = h
-    hT_ref[:, :] = h
 
 
 def _gru_run_fwd(x_proj, w_hh_t, b_hh, h0):
-    x_proj = jnp.swapaxes(x_proj, 0, 1)         # (T, B, 3H)
     T, B, H3 = x_proj.shape
     H = H3 // 3
-    kernel = functools.partial(_gru_fwd_kernel, t_len=T)
-    ys, hT = pl.pallas_call(
-        kernel,
-        grid=(T,),
+    k = _block_len(T)
+    tp = -(-T // k) * k
+    x_proj = _pad_t(x_proj, tp)
+    ys = pl.pallas_call(
+        functools.partial(_gru_fwd_kernel, k=k),
+        grid=(tp // k,),
         in_specs=[
-            pl.BlockSpec((1, B, H3), lambda t: (t, 0, 0),
+            pl.BlockSpec((k, B, H3), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((H, H3), lambda t: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -412,120 +423,122 @@ def _gru_run_fwd(x_proj, w_hh_t, b_hh, h0):
             pl.BlockSpec((B, H), lambda t: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=[
-            pl.BlockSpec((1, B, H), lambda t: (t, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, H), lambda t: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((T, B, H), jnp.float32),
-            jax.ShapeDtypeStruct((B, H), jnp.float32),
-        ],
+        out_specs=pl.BlockSpec((k, B, H), lambda t: (t, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((tp, B, H), jnp.float32),
         scratch_shapes=[pltpu.VMEM((B, H), jnp.float32)],
+        compiler_params=_compiler_params(),
         interpret=_interpret(),
     )(x_proj, w_hh_t, b_hh[None], h0)
-    return jnp.swapaxes(ys, 0, 1), hT
+    return ys
 
 
 def _gru_bwd_kernel(acts_ref, hn_ref, hprev_ref, dys_ref, whh_ref,
-                    dhT_ref, dgx_ref, dgh_ref, dh0_ref, dh_s, *, t_len):
+                    dhT_ref, dgx_ref, dgh_ref, dh0_ref, dh_s,
+                    *, k, j_final):
     """Sequential dh chain of the GRU backward (torch gate semantics).
-
-    Per step (processed in reverse time order): elementwise gate grads +
-    ONE (B,3H)@(3H,H) MXU matmul.  Emits dgx (→ dx_proj) and dgh
-    (→ dW_hh/db_hh, reduced outside as one big matmul)."""
-    s = pl.program_id(0)               # processes t = T−1−s
+    Block/pad layout as the LSTM backward: dhT is gated into block 0 at
+    inner index j_final = position of t = T-1."""
+    s = pl.program_id(0)
 
     @pl.when(s == 0)
     def _():
-        dh_s[:, :] = dhT_ref[:, :]
+        dh_s[:, :] = jnp.zeros_like(dh_s)
 
     hdim = dh_s.shape[-1]
-    acts = acts_ref[0]
-    r = acts[:, :hdim]
-    z = acts[:, hdim:2 * hdim]
-    n = acts[:, 2 * hdim:]
-    hn = hn_ref[0]
-    h_prev = hprev_ref[0]
-
-    dh = dys_ref[0] + dh_s[:, :]
-    dn = dh * (1.0 - z)
-    dz = dh * (h_prev - n)
-    da_n = dn * (1.0 - n * n)
-    dhn = da_n * r
-    dr = da_n * hn
-    da_r = dr * r * (1.0 - r)
-    da_z = dz * z * (1.0 - z)
-    dgx = jnp.concatenate([da_r, da_z, da_n], axis=1)    # (B, 3H)
-    dgh = jnp.concatenate([da_r, da_z, dhn], axis=1)
-    dgx_ref[0] = dgx
-    dgh_ref[0] = dgh
-    dh_prev = dh * z + jnp.dot(dgh.astype(whh_ref.dtype), whh_ref[:, :],
-                               preferred_element_type=jnp.float32)
-    dh_s[:, :] = dh_prev
-    dh0_ref[:, :] = dh_prev
+    dh = dh_s[:, :]
+    sel = jnp.where(s == 0, 1.0, 0.0).astype(jnp.float32)
+    for j in range(k - 1, -1, -1):
+        if j == j_final:
+            dh = dh + sel * dhT_ref[:, :]
+        acts = acts_ref[j]
+        r = acts[:, :hdim]
+        z = acts[:, hdim:2 * hdim]
+        n = acts[:, 2 * hdim:]
+        hn = hn_ref[j]
+        h_prev = hprev_ref[j]
+        dh = dh + dys_ref[j]
+        dn = dh * (1.0 - z)
+        dz = dh * (h_prev - n)
+        da_n = dn * (1.0 - n * n)
+        dhn = da_n * r
+        dr = da_n * hn
+        da_r = dr * r * (1.0 - r)
+        da_z = dz * z * (1.0 - z)
+        dgx = jnp.concatenate([da_r, da_z, da_n], axis=1)    # (B, 3H)
+        dgh = jnp.concatenate([da_r, da_z, dhn], axis=1)
+        dgx_ref[j] = dgx
+        dgh_ref[j] = dgh
+        dh = dh * z + jnp.dot(dgh.astype(whh_ref.dtype), whh_ref[:, :],
+                              preferred_element_type=jnp.float32)
+    dh_s[:, :] = dh
+    dh0_ref[:, :] = dh
 
 
 def _gru_run_bwd(acts, hn, ys_prev, dys, w_hh, dhT):
-    acts = jnp.swapaxes(acts, 0, 1)          # (T, B, 3H)
-    hn = jnp.swapaxes(hn, 0, 1)
-    ys_prev = jnp.swapaxes(ys_prev, 0, 1)
-    dys = jnp.swapaxes(dys, 0, 1)
     T, B, H3 = acts.shape
     H = H3 // 3
-    kernel = functools.partial(_gru_bwd_kernel, t_len=T)
-    rev3 = lambda s: (T - 1 - s, 0, 0)
+    k = _block_len(T)
+    tp = -(-T // k) * k
+    j_final = k - 1 - (tp - T)
+    acts = _pad_t(acts, tp)
+    hn = _pad_t(hn, tp)
+    ys_prev = _pad_t(ys_prev, tp)
+    dys = _pad_t(dys, tp)
+    rev = lambda s: (tp // k - 1 - s, 0, 0)
     fixed = lambda s: (0, 0)
     dgx, dgh, dh0 = pl.pallas_call(
-        kernel,
-        grid=(T,),
+        functools.partial(_gru_bwd_kernel, k=k, j_final=j_final),
+        grid=(tp // k,),
         in_specs=[
-            pl.BlockSpec((1, B, H3), rev3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B, H), rev3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B, H), rev3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B, H), rev3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, B, H3), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, B, H), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, B, H), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, B, H), rev, memory_space=pltpu.VMEM),
             pl.BlockSpec((H3, H), fixed, memory_space=pltpu.VMEM),
             pl.BlockSpec((B, H), fixed, memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, B, H3), rev3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B, H3), rev3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, B, H3), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, B, H3), rev, memory_space=pltpu.VMEM),
             pl.BlockSpec((B, H), fixed, memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((T, B, H3), jnp.float32),
-            jax.ShapeDtypeStruct((T, B, H3), jnp.float32),
+            jax.ShapeDtypeStruct((tp, B, H3), jnp.float32),
+            jax.ShapeDtypeStruct((tp, B, H3), jnp.float32),
             jax.ShapeDtypeStruct((B, H), jnp.float32),
         ],
         scratch_shapes=[pltpu.VMEM((B, H), jnp.float32)],
+        compiler_params=_compiler_params(),
         interpret=_interpret(),
     )(acts, hn, ys_prev, dys, w_hh, dhT)
-    return jnp.swapaxes(dgx, 0, 1), jnp.swapaxes(dgh, 0, 1), dh0
+    return dgx[:T], dgh[:T], dh0
 
 
 @jax.custom_vjp
-def gru_recurrence_pallas(x_proj, w_hh_t, b_hh, h0):
-    """(x_proj (B,T,3H) fp32 incl. b_ih, w_hh_t (H,3H), b_hh (3H,),
-    h0 (B,H) fp32) → (ys (B,T,H), hT (B,H)) — the GRU recurrence as one
-    Pallas kernel (torch gate order r,z,n; b_hh applied inside the reset
-    gate, matching nn.GRU)."""
-    ys, hT = _gru_run_fwd(x_proj, w_hh_t, b_hh, h0)
-    return ys, hT
+def gru_recurrence_tm(x_proj, w_hh_t, b_hh, h0):
+    """(x_proj (T,B,3H) fp32 incl. b_ih, w_hh_t (H,3H), b_hh (3H,),
+    h0 (B,H) fp32) → (ys (T,B,H), hT (B,H)) — the GRU recurrence as one
+    Pallas kernel, time-major (torch gate order r,z,n; b_hh applied inside
+    the reset gate, matching nn.GRU)."""
+    T = x_proj.shape[0]
+    ys = _gru_run_fwd(x_proj, w_hh_t, b_hh, h0)
+    return ys[:T], ys[T - 1]
 
 
 def _gru_vjp_fwd(x_proj, w_hh_t, b_hh, h0):
-    ys, hT = _gru_run_fwd(x_proj, w_hh_t, b_hh, h0)
-    return (ys, hT), (x_proj, w_hh_t, b_hh, h0, ys)
+    T = x_proj.shape[0]
+    ys = _gru_run_fwd(x_proj, w_hh_t, b_hh, h0)
+    return (ys[:T], ys[T - 1]), (x_proj, w_hh_t, b_hh, h0, ys[:T])
 
 
 def _gru_vjp_bwd(res, grads):
     x_proj, w_hh_t, b_hh, h0, ys = res
     dys, dhT = grads
-    B, T, H3 = x_proj.shape
+    T, B, H3 = x_proj.shape
     H = H3 // 3
 
-    ys_prev = jnp.concatenate([h0[:, None], ys[:, :-1]], axis=1)
+    ys_prev = jnp.concatenate([h0[None], ys[:-1]], axis=0)
     # rematerialize gate activations with one big MXU matmul
     h_proj = jax.lax.dot_general(
         ys_prev, w_hh_t, (((2,), (0,)), ((), ())),
@@ -542,38 +555,27 @@ def _gru_vjp_bwd(res, grads):
 
     # weight/bias grads reduce OUTSIDE as one big matmul over all steps
     dwhh_t = jax.lax.dot_general(
-        ys_prev.reshape(B * T, H), dgh.reshape(B * T, H3),
+        ys_prev.reshape(T * B, H), dgh.reshape(T * B, H3),
         (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
     dbhh = jnp.sum(dgh, axis=(0, 1))
     return (dgx, dwhh_t.astype(w_hh_t.dtype), dbhh.astype(b_hh.dtype), dh0)
 
 
-gru_recurrence_pallas.defvjp(_gru_vjp_fwd, _gru_vjp_bwd)
+gru_recurrence_tm.defvjp(_gru_vjp_fwd, _gru_vjp_bwd)
 
 
-def gru_recurrence_pallas_sharded(mesh, x_proj, w_hh_t, b_hh, h0,
-                                  batch_axis='dp'):
-    """Batch-sharded GRU recurrence under shard_map (see the LSTM twin)."""
-    from jax.sharding import PartitionSpec as P
-
-    fn = _shard_map(
-        lambda xp, w, b, h: gru_recurrence_pallas(xp, w, b, h),
-        mesh=mesh,
-        in_specs=(P(batch_axis, None, None), P(None, None), P(None),
-                  P(batch_axis, None)),
-        out_specs=(P(batch_axis, None, None), P(batch_axis, None)))
-    return fn(x_proj, w_hh_t, b_hh, h0)
+def gru_recurrence_pallas(x_proj, w_hh_t, b_hh, h0):
+    """Batch-major compat wrapper: (x_proj (B,T,3H), …) → (ys (B,T,H),
+    hT)."""
+    ys, hT = gru_recurrence_tm(jnp.swapaxes(x_proj, 0, 1), w_hh_t, b_hh, h0)
+    return jnp.swapaxes(ys, 0, 1), hT
 
 
-def gru_layer_pallas(params, xs, state, recurrent_dtype=None, mesh=None,
-                     batch_axis='dp'):
-    """Drop-in for rnn_ops.gru_layer backed by the Pallas recurrence —
-    full training support via gru_recurrence_pallas' custom VJP (the
-    reference's first-class enc_type=GRU path, rnnt/models.py:77-116).
-    mesh: as lstm_layer_pallas — per-shard kernel under shard_map."""
-    if recurrent_dtype is None:
-        recurrent_dtype = (jnp.bfloat16 if jax.default_backend() == 'tpu'
-                           else jnp.float32)
+def gru_layer_tm(params, xs, state, recurrent_dtype=None, mesh=None,
+                 batch_axis='dp'):
+    """Time-major GRU layer: xs (T, B, in) → (ys (T, B, H), hT) — full
+    training support via gru_recurrence_tm's custom VJP (the reference's
+    first-class enc_type=GRU path, rnnt/models.py:77-116)."""
     h0 = state
     dtype = xs.dtype
     w_ih = params['w_ih'].astype(dtype)
@@ -581,39 +583,79 @@ def gru_layer_pallas(params, xs, state, recurrent_dtype=None, mesh=None,
     x_proj = jax.lax.dot_general(
         xs, w_ih, (((2,), (1,)), ((), ())),
         preferred_element_type=jnp.float32) + b_ih
-    w_hh_t = jnp.swapaxes(params['w_hh'], 0, 1).astype(recurrent_dtype)
+    w_hh_t = jnp.swapaxes(params['w_hh'], 0, 1).astype(
+        _recurrent_dtype(recurrent_dtype))
     b_hh = params['b_hh'].astype(jnp.float32)
     if mesh is not None and dict(mesh.shape).get(batch_axis, 1) > 1:
-        ys, hT = gru_recurrence_pallas_sharded(
-            mesh, x_proj, w_hh_t, b_hh, h0.astype(jnp.float32),
-            batch_axis=batch_axis)
+        ys, hT = _gru_tm_sharded(mesh, x_proj, w_hh_t, b_hh,
+                                 h0.astype(jnp.float32),
+                                 batch_axis=batch_axis)
     else:
-        ys, hT = gru_recurrence_pallas(x_proj, w_hh_t, b_hh,
-                                       h0.astype(jnp.float32))
+        ys, hT = gru_recurrence_tm(x_proj, w_hh_t, b_hh,
+                                   h0.astype(jnp.float32))
     return ys.astype(dtype), hT.astype(h0.dtype)
 
 
+def gru_layer_pallas(params, xs, state, recurrent_dtype=None, mesh=None,
+                     batch_axis='dp'):
+    """Batch-major drop-in for rnn_ops.gru_layer backed by the Pallas
+    recurrence: xs (B, T, in)."""
+    ys, hT = gru_layer_tm(params, jnp.swapaxes(xs, 0, 1), state,
+                          recurrent_dtype=recurrent_dtype, mesh=mesh,
+                          batch_axis=batch_axis)
+    return jnp.swapaxes(ys, 0, 1), hT
+
+
 # ---------------------------------------------------------------------------
-# multi-device wiring (proof + utility for mesh integration)
+# multi-device wiring (kernels under shard_map on the batch axis)
 # ---------------------------------------------------------------------------
 
-def lstm_recurrence_pallas_sharded(mesh, x_proj, w_hh_t, h0, c0,
-                                   batch_axis='dp'):
-    """Batch-sharded wrapper: runs the Pallas recurrence per-shard under
-    shard_map (weights replicated, batch split over `batch_axis`).  The
-    trainer activates rnn_ops.mesh_context so lstm_layer routes here on dp
-    meshes (reference cuDNN-LSTM-under-DataParallel role, rnnt/models.py:64
-    + cli/baseline.py:158-159)."""
+def _lstm_tm_sharded(mesh, x_proj, w_hh_t, h0, c0, batch_axis='dp'):
+    """Batch-sharded time-major recurrence: per-shard Pallas kernel under
+    shard_map (weights replicated, batch axis 1 split).  The trainer
+    activates rnn_ops.mesh_context so encoder layers route here on dp
+    meshes (reference cuDNN-LSTM-under-DataParallel role,
+    rnnt/models.py:64 + cli/baseline.py:158-159)."""
     from jax.sharding import PartitionSpec as P
 
     fn = _shard_map(
-        lambda xp, w, h, c: lstm_recurrence_pallas(xp, w, h, c),
+        lambda xp, w, h, c: lstm_recurrence_tm(xp, w, h, c),
         mesh=mesh,
-        in_specs=(P(batch_axis, None, None), P(None, None),
+        in_specs=(P(None, batch_axis, None), P(None, None),
                   P(batch_axis, None), P(batch_axis, None)),
-        out_specs=(P(batch_axis, None, None), P(batch_axis, None),
+        out_specs=(P(None, batch_axis, None), P(batch_axis, None),
                    P(batch_axis, None)))
     return fn(x_proj, w_hh_t, h0, c0)
+
+
+def lstm_recurrence_pallas_sharded(mesh, x_proj, w_hh_t, h0, c0,
+                                   batch_axis='dp'):
+    """Batch-major compat wrapper over the sharded time-major recurrence."""
+    ys, hT, cT = _lstm_tm_sharded(
+        mesh, jnp.swapaxes(x_proj, 0, 1), w_hh_t, h0, c0,
+        batch_axis=batch_axis)
+    return jnp.swapaxes(ys, 0, 1), hT, cT
+
+
+def _gru_tm_sharded(mesh, x_proj, w_hh_t, b_hh, h0, batch_axis='dp'):
+    from jax.sharding import PartitionSpec as P
+
+    fn = _shard_map(
+        lambda xp, w, b, h: gru_recurrence_tm(xp, w, b, h),
+        mesh=mesh,
+        in_specs=(P(None, batch_axis, None), P(None, None), P(None),
+                  P(batch_axis, None)),
+        out_specs=(P(None, batch_axis, None), P(batch_axis, None)))
+    return fn(x_proj, w_hh_t, b_hh, h0)
+
+
+def gru_recurrence_pallas_sharded(mesh, x_proj, w_hh_t, b_hh, h0,
+                                  batch_axis='dp'):
+    """Batch-major compat wrapper over the sharded time-major GRU."""
+    ys, hT = _gru_tm_sharded(
+        mesh, jnp.swapaxes(x_proj, 0, 1), w_hh_t, b_hh, h0,
+        batch_axis=batch_axis)
+    return jnp.swapaxes(ys, 0, 1), hT
 
 
 def _shard_map(f, *, mesh, in_specs, out_specs):

@@ -117,13 +117,13 @@ def test_train_step_routes_pallas_lstm_on_dp_mesh(monkeypatch):
         return state, metrics
 
     calls = []
-    orig = rp.lstm_recurrence_pallas_sharded
+    orig = rp._lstm_tm_sharded
 
     def spy(*args, **kwargs):
         calls.append(1)
         return orig(*args, **kwargs)
 
-    monkeypatch.setattr(rp, 'lstm_recurrence_pallas_sharded', spy)
+    monkeypatch.setattr(rp, '_lstm_tm_sharded', spy)
     state_p, m_p = one_step('force')
     assert calls, 'Pallas shard_map path did not engage in the train step'
     state_s, m_s = one_step('0')
@@ -243,13 +243,13 @@ def test_gru_train_step_routes_pallas_on_dp_mesh(monkeypatch):
         return state, metrics
 
     calls = []
-    orig = rp.gru_recurrence_pallas_sharded
+    orig = rp._gru_tm_sharded
 
     def spy(*args, **kwargs):
         calls.append(1)
         return orig(*args, **kwargs)
 
-    monkeypatch.setattr(rp, 'gru_recurrence_pallas_sharded', spy)
+    monkeypatch.setattr(rp, '_gru_tm_sharded', spy)
     state_p, m_p = one_step('force')
     assert calls, 'Pallas GRU shard_map path did not engage'
     state_s, m_s = one_step('0')
