@@ -160,7 +160,7 @@ def _run_fwd(x_proj, w_hh_t, h0, c0):
 # LSTM backward (sequential dh/dc chain only)
 # ---------------------------------------------------------------------------
 
-def _bwd_step(acts, c_prev, c, dy, dh_in, dc_in, whh_t_ref):
+def _bwd_step(acts, c_prev, c, dy, dh_in, dc_in, whh_ref):
     hdim = dh_in.shape[-1]
     i = acts[:, :hdim]
     f = acts[:, hdim:2 * hdim]
@@ -175,19 +175,30 @@ def _bwd_step(acts, c_prev, c, dy, dh_in, dc_in, whh_t_ref):
          dc * c_prev * f * (1.0 - f),
          dc * i * (1.0 - g * g),
          do * o * (1.0 - o)], axis=1)                  # (B, 4H)
-    dh_prev = jnp.dot(dgates.astype(whh_t_ref.dtype), whh_t_ref[:, :],
+    dh_prev = jnp.dot(dgates.astype(whh_ref.dtype), whh_ref[:, :],
                       preferred_element_type=jnp.float32)
     return dgates, dh_prev, dc * f
 
 
-def _bwd_kernel(acts_ref, cprev_ref, c_ref, dys_ref, whh_t_ref,
-                dhT_ref, dcT_ref, dg_ref, dh0_ref, dc0_ref, dh_s, dc_s,
-                *, k, j_final):
-    """Block s processes t = Tp-1-(s*k+j), j=0..k-1 (reverse time).  The
-    final-state cotangents (dhT, dcT) belong to t = T-1, i.e. block 0,
-    inner index j_final = Tp - T (static); `sel` gates them to block 0 so
-    padded tail steps (j < j_final) see pure-zero cotangents and emit
-    zeros."""
+def _bwd_kernel(xp_ref, ys_ref, ysp_ref, cs_ref, csp_ref, whh_t_ref,
+                whh_ref, h0_ref, c0_ref, dys_ref, dhT_ref, dcT_ref,
+                dg_ref, dh0_ref, dc0_ref, dh_s, dc_s,
+                *, k, j_final, nblocks):
+    """Block s processes t = Tp-1-(s*k+j), j=0..k-1 (reverse time).
+
+    Gate activations are REMATERIALIZED IN-KERNEL from the saved x_proj
+    and the emitted ys: one batched (k*B, H) @ (H, 4H) MXU matmul per
+    block (off the sequential dh/dc chain), instead of materializing a
+    195 MB (T, B, 4H) acts tensor in HBM between a remat matmul and the
+    kernel — profiling showed those concat/activation fusions cost more
+    than the whole recurrence.  ys_prev/cs_prev come from the same ys/cs
+    arrays via a one-block-shifted second BlockSpec (ysp/csp), so no
+    concatenated _prev copies exist anywhere.
+
+    The final-state cotangents (dhT, dcT) belong to t = T-1, i.e. block
+    0, inner index j_final = Tp - T (static); `sel` gates them to block
+    0 so padded tail steps (j < j_final) see pure-zero cotangents and
+    emit zeros."""
     s = pl.program_id(0)
 
     @pl.when(s == 0)
@@ -195,18 +206,36 @@ def _bwd_kernel(acts_ref, cprev_ref, c_ref, dys_ref, whh_t_ref,
         dh_s[:, :] = jnp.zeros_like(dh_s)
         dc_s[:, :] = jnp.zeros_like(dc_s)
 
+    kb, b, hdim = ys_ref.shape
+    # row j's (h_prev, c_prev): row j-1 of this block; for j=0 the last
+    # row of the previous-time block (ysp/csp), or (h0, c0) at t=0
+    # (which is the LAST grid step, s == nblocks-1, since time reverses).
+    first_h = jnp.where(s == nblocks - 1, h0_ref[:, :], ysp_ref[k - 1])
+    first_c = jnp.where(s == nblocks - 1, c0_ref[:, :], csp_ref[k - 1])
+    if k > 1:
+        ys_prev = jnp.concatenate([first_h[None], ys_ref[:k - 1]], axis=0)
+        cs_prev = jnp.concatenate([first_c[None], cs_ref[:k - 1]], axis=0)
+    else:
+        ys_prev = first_h[None]
+        cs_prev = first_c[None]
+    gates = xp_ref[...] + jnp.dot(
+        ys_prev.reshape(k * b, hdim).astype(whh_t_ref.dtype),
+        whh_t_ref[:, :],
+        preferred_element_type=jnp.float32).reshape(k, b, 4 * hdim)
+    acts = jnp.concatenate(
+        [jax.nn.sigmoid(gates[..., :2 * hdim]),
+         jnp.tanh(gates[..., 2 * hdim:3 * hdim]),
+         jax.nn.sigmoid(gates[..., 3 * hdim:])], axis=-1)
+
     dh = dh_s[:, :]
     dc = dc_s[:, :]
     sel = jnp.where(s == 0, 1.0, 0.0).astype(jnp.float32)
-    for j in range(k - 1, -1, -1):       # j descending == t ascending? no:
-        # rows within the block are stored time-ascending; reverse time
-        # means processing row k-1 first.
+    for j in range(k - 1, -1, -1):       # reverse time within the block
         if j == j_final:
             dh = dh + sel * dhT_ref[:, :]
             dc = dc + sel * dcT_ref[:, :]
         dgates, dh, dc = _bwd_step(
-            acts_ref[j], cprev_ref[j], c_ref[j], dys_ref[j], dh, dc,
-            whh_t_ref)
+            acts[j], cs_prev[j], cs_ref[j], dys_ref[j], dh, dc, whh_ref)
         dg_ref[j] = dgates
     dh_s[:, :] = dh
     dc_s[:, :] = dc
@@ -214,29 +243,39 @@ def _bwd_kernel(acts_ref, cprev_ref, c_ref, dys_ref, whh_t_ref,
     dc0_ref[:, :] = dc
 
 
-def _run_bwd(acts, cs_prev, cs, dys, w_hh_t, dhT, dcT):
+def _run_bwd(x_proj, ys, cs, w_hh_t, h0, c0, dys, dhT, dcT):
     """All sequence args (T, B, ...) UNPADDED; returns (dgates (T,B,4H),
     dh0, dc0)."""
-    T, B, H4 = acts.shape
+    T, B, H4 = x_proj.shape
     H = H4 // 4
     k = _block_len(T)
     tp = -(-T // k) * k
+    nblocks = tp // k
     j_final = k - 1 - (tp - T)     # inner index of t = T-1 in block 0
-    acts = _pad_t(acts, tp)
-    cs_prev = _pad_t(cs_prev, tp)
+    x_proj = _pad_t(x_proj, tp)
+    ys = _pad_t(ys, tp)
     cs = _pad_t(cs, tp)
     dys = _pad_t(dys, tp)
-    rev = lambda s: (tp // k - 1 - s, 0, 0)
+    rev = lambda s: (nblocks - 1 - s, 0, 0)
+    # the previous-TIME block (one earlier in time = one later in grid
+    # order); clamped at the t=0 block, where h0/c0 are used instead
+    rev_m1 = lambda s: (jnp.maximum(nblocks - 2 - s, 0), 0, 0)
     fixed = lambda s: (0, 0)
     dgates, dh0, dc0 = pl.pallas_call(
-        functools.partial(_bwd_kernel, k=k, j_final=j_final),
-        grid=(tp // k,),
+        functools.partial(_bwd_kernel, k=k, j_final=j_final,
+                          nblocks=nblocks),
+        grid=(nblocks,),
         in_specs=[
             pl.BlockSpec((k, B, H4), rev, memory_space=pltpu.VMEM),
             pl.BlockSpec((k, B, H), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, B, H), rev_m1, memory_space=pltpu.VMEM),
             pl.BlockSpec((k, B, H), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((k, B, H), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, B, H), rev_m1, memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, H4), fixed, memory_space=pltpu.VMEM),
             pl.BlockSpec((H4, H), fixed, memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, H), fixed, memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, H), fixed, memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, B, H), rev, memory_space=pltpu.VMEM),
             pl.BlockSpec((B, H), fixed, memory_space=pltpu.VMEM),
             pl.BlockSpec((B, H), fixed, memory_space=pltpu.VMEM),
         ],
@@ -254,7 +293,8 @@ def _run_bwd(acts, cs_prev, cs, dys, w_hh_t, dhT, dcT):
                         pltpu.VMEM((B, H), jnp.float32)],
         compiler_params=_compiler_params(),
         interpret=_interpret(),
-    )(acts, cs_prev, cs, dys, w_hh_t, dhT, dcT)
+    )(x_proj, ys, ys, cs, cs, w_hh_t,
+      jnp.swapaxes(w_hh_t, 0, 1), h0, c0, dys, dhT, dcT)
     return dgates[:T], dh0, dc0
 
 
@@ -285,28 +325,23 @@ def _vjp_bwd(res, grads):
     T, B, H4 = x_proj.shape
     H = H4 // 4
 
-    ys_prev = jnp.concatenate([h0[None], ys[:-1]], axis=0)
-    cs_prev = jnp.concatenate([c0[None], cs[:-1]], axis=0)
-    # rematerialize gate activations with one big MXU matmul
-    gates = x_proj + jax.lax.dot_general(
-        ys_prev, w_hh_t, (((2,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    acts = jnp.concatenate(
-        [jax.nn.sigmoid(gates[..., :H]),
-         jax.nn.sigmoid(gates[..., H:2 * H]),
-         jnp.tanh(gates[..., 2 * H:3 * H]),
-         jax.nn.sigmoid(gates[..., 3 * H:])], axis=-1)
-
+    # gate activations rematerialize INSIDE the kernel (one batched MXU
+    # matmul per block) — no (T, B, 4H) acts tensor and no concatenated
+    # ys_prev/cs_prev copies ever exist in HBM
     dgates, dh0, dc0 = _run_bwd(
-        acts, cs_prev, cs, dys.astype(jnp.float32),
-        jnp.swapaxes(w_hh_t, 0, 1), dhT.astype(jnp.float32),
-        dcT.astype(jnp.float32))
+        x_proj, ys, cs, w_hh_t, h0, c0, dys.astype(jnp.float32),
+        dhT.astype(jnp.float32), dcT.astype(jnp.float32))
 
-    # weight grad reduces OUTSIDE as one big matmul over all steps
-    # (time-major (T*B, ·) reshapes are contiguous)
+    # weight grad reduces OUTSIDE as one big matmul over all steps:
+    # dW^T = sum_t h_{t-1}^T dgates_t, split as the h0 rank-1 term plus
+    # one contiguous-slice matmul (time-major (T*B, ·) reshapes are free)
     dwhh_t = jax.lax.dot_general(
-        ys_prev.reshape(T * B, H), dgates.reshape(T * B, H4),
+        ys[:T - 1].reshape((T - 1) * B, H),
+        dgates[1:].reshape((T - 1) * B, H4),
         (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    dwhh_t = dwhh_t + jax.lax.dot_general(
+        h0, dgates[0], (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
     # cotangent dtypes must match the primals (w_hh_t may be bf16)
     return dgates, dwhh_t.astype(w_hh_t.dtype), dh0, dc0
 
