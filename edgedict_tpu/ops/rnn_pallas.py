@@ -35,10 +35,16 @@ Design (round-3 rework, measured on v5e):
     accumulation).  The default 16 MB scoped-vmem limit is raised via
     CompilerParams — v5e accepts >=100 MB — which is what makes k>=4
     blocks (and future multi-layer residency) possible at H=1024.
-  * Backward: XLA rematerializes the gate activations with ONE big matmul
-    (x_proj + ys_prev @ W_hh^T); the kernel runs only the sequential
-    dh/dc chain (elementwise + one (B,4H)@(4H,H) matmul per step) and
-    dW_hh/db reduce OUTSIDE as one big matmul over the emitted dgates.
+  * Backward: gate activations rematerialize IN-KERNEL from the saved
+    x_proj and the forward's emitted ys/cs — one batched (k*B, H) @
+    (H, 4H) MXU matmul per block, off the sequential dh/dc chain; the
+    previous-step rows come from the same ys/cs arrays through a
+    one-block-shifted second BlockSpec.  Profiling showed the previous
+    out-of-kernel remat (big matmul → 195 MB acts concat → kernel) cost
+    more in HBM fusion traffic than the whole recurrence; this rework
+    measured 53.4 → 48.1 ms on the E6D2/B=32 train step.  dW_hh/db
+    still reduce OUTSIDE as one big matmul over the emitted dgates
+    (contiguous slice product + h0 rank-1 term — no ys_prev concat).
 
 `lstm_recurrence_tm` / `gru_recurrence_tm` are the custom-vjp primitives
 (PyTorch gate orders i,f,g,o / r,z,n; fp32 state).  Batch-major wrappers
@@ -64,6 +70,18 @@ def _block_len(t):
     """Timesteps per grid block: amortizes per-grid-step overhead.  Env
     override EDGEDICT_LSTM_BLOCK for tuning."""
     k = int(os.environ.get('EDGEDICT_LSTM_BLOCK', '2'))
+    return max(1, min(k, t))
+
+
+def _bwd_block_len(t):
+    """Backward block length, separately tunable via
+    EDGEDICT_LSTM_BLOCK_BWD.  Although the in-kernel gate-remat matmul
+    batches (k*B) rows per block, the end-to-end sweep still favors
+    k=2 (48.6 ms vs 49.6 at k=4, 51.8 at k=8 on the E6D2/B=32 step) —
+    pipeline overlap beats MXU row-fill here too, so the default
+    follows EDGEDICT_LSTM_BLOCK."""
+    k = int(os.environ.get('EDGEDICT_LSTM_BLOCK_BWD',
+                           os.environ.get('EDGEDICT_LSTM_BLOCK', '2')))
     return max(1, min(k, t))
 
 
@@ -248,7 +266,7 @@ def _run_bwd(x_proj, ys, cs, w_hh_t, h0, c0, dys, dhT, dcT):
     dh0, dc0)."""
     T, B, H4 = x_proj.shape
     H = H4 // 4
-    k = _block_len(T)
+    k = _bwd_block_len(T)
     tp = -(-T // k) * k
     nblocks = tp // k
     j_final = k - 1 - (tp - T)     # inner index of t = T-1 in block 0
@@ -468,30 +486,51 @@ def _gru_run_fwd(x_proj, w_hh_t, b_hh, h0):
     return ys
 
 
-def _gru_bwd_kernel(acts_ref, hn_ref, hprev_ref, dys_ref, whh_ref,
-                    dhT_ref, dgx_ref, dgh_ref, dh0_ref, dh_s,
-                    *, k, j_final):
+def _gru_bwd_kernel(xp_ref, ys_ref, ysp_ref, whh_t_ref, bhh_ref, whh_ref,
+                    h0_ref, dys_ref, dhT_ref, dgx_ref, dgh_ref, dh0_ref,
+                    dh_s, *, k, j_final, nblocks):
     """Sequential dh chain of the GRU backward (torch gate semantics).
     Block/pad layout as the LSTM backward: dhT is gated into block 0 at
-    inner index j_final = position of t = T-1."""
+    inner index j_final = position of t = T-1.  Gate activations (r, z,
+    n) and the raw new-gate pre-activation hn rematerialize IN-KERNEL
+    from x_proj and the forward's ys via one batched (k*B, H) @ (H, 3H)
+    matmul per block — no (T, B, 3H) acts tensor or h_prev concat in
+    HBM (same profiling-driven rework as the LSTM backward)."""
     s = pl.program_id(0)
 
     @pl.when(s == 0)
     def _():
         dh_s[:, :] = jnp.zeros_like(dh_s)
 
-    hdim = dh_s.shape[-1]
+    kb, b, hdim = ys_ref.shape
+    first_h = jnp.where(s == nblocks - 1, h0_ref[:, :], ysp_ref[k - 1])
+    if k > 1:
+        hprev_blk = jnp.concatenate([first_h[None], ys_ref[:k - 1]],
+                                    axis=0)
+    else:
+        hprev_blk = first_h[None]
+    h_proj = jnp.dot(
+        hprev_blk.reshape(k * b, hdim).astype(whh_t_ref.dtype),
+        whh_t_ref[:, :],
+        preferred_element_type=jnp.float32).reshape(k, b, 3 * hdim) \
+        + bhh_ref[0]
+    xp = xp_ref[...]
+    r_blk = jax.nn.sigmoid(xp[..., :hdim] + h_proj[..., :hdim])
+    z_blk = jax.nn.sigmoid(xp[..., hdim:2 * hdim]
+                           + h_proj[..., hdim:2 * hdim])
+    hn_blk = h_proj[..., 2 * hdim:]
+    n_blk = jnp.tanh(xp[..., 2 * hdim:] + r_blk * hn_blk)
+
     dh = dh_s[:, :]
     sel = jnp.where(s == 0, 1.0, 0.0).astype(jnp.float32)
     for j in range(k - 1, -1, -1):
         if j == j_final:
             dh = dh + sel * dhT_ref[:, :]
-        acts = acts_ref[j]
-        r = acts[:, :hdim]
-        z = acts[:, hdim:2 * hdim]
-        n = acts[:, 2 * hdim:]
-        hn = hn_ref[j]
-        h_prev = hprev_ref[j]
+        r = r_blk[j]
+        z = z_blk[j]
+        n = n_blk[j]
+        hn = hn_blk[j]
+        h_prev = hprev_blk[j]
         dh = dh + dys_ref[j]
         dn = dh * (1.0 - z)
         dz = dh * (h_prev - n)
@@ -510,27 +549,32 @@ def _gru_bwd_kernel(acts_ref, hn_ref, hprev_ref, dys_ref, whh_ref,
     dh0_ref[:, :] = dh
 
 
-def _gru_run_bwd(acts, hn, ys_prev, dys, w_hh, dhT):
-    T, B, H3 = acts.shape
+def _gru_run_bwd(x_proj, ys, w_hh_t, b_hh, h0, dys, dhT):
+    T, B, H3 = x_proj.shape
     H = H3 // 3
-    k = _block_len(T)
+    k = _bwd_block_len(T)
     tp = -(-T // k) * k
+    nblocks = tp // k
     j_final = k - 1 - (tp - T)
-    acts = _pad_t(acts, tp)
-    hn = _pad_t(hn, tp)
-    ys_prev = _pad_t(ys_prev, tp)
+    x_proj = _pad_t(x_proj, tp)
+    ys = _pad_t(ys, tp)
     dys = _pad_t(dys, tp)
-    rev = lambda s: (tp // k - 1 - s, 0, 0)
+    rev = lambda s: (nblocks - 1 - s, 0, 0)
+    rev_m1 = lambda s: (jnp.maximum(nblocks - 2 - s, 0), 0, 0)
     fixed = lambda s: (0, 0)
     dgx, dgh, dh0 = pl.pallas_call(
-        functools.partial(_gru_bwd_kernel, k=k, j_final=j_final),
-        grid=(tp // k,),
+        functools.partial(_gru_bwd_kernel, k=k, j_final=j_final,
+                          nblocks=nblocks),
+        grid=(nblocks,),
         in_specs=[
             pl.BlockSpec((k, B, H3), rev, memory_space=pltpu.VMEM),
             pl.BlockSpec((k, B, H), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((k, B, H), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((k, B, H), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, B, H), rev_m1, memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, H3), fixed, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H3), fixed, memory_space=pltpu.VMEM),
             pl.BlockSpec((H3, H), fixed, memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, H), fixed, memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, B, H), rev, memory_space=pltpu.VMEM),
             pl.BlockSpec((B, H), fixed, memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -546,7 +590,8 @@ def _gru_run_bwd(acts, hn, ys_prev, dys, w_hh, dhT):
         scratch_shapes=[pltpu.VMEM((B, H), jnp.float32)],
         compiler_params=_compiler_params(),
         interpret=_interpret(),
-    )(acts, hn, ys_prev, dys, w_hh, dhT)
+    )(x_proj, ys, ys, w_hh_t, b_hh[None], jnp.swapaxes(w_hh_t, 0, 1),
+      h0, dys, dhT)
     return dgx[:T], dgh[:T], dh0
 
 
@@ -573,25 +618,21 @@ def _gru_vjp_bwd(res, grads):
     T, B, H3 = x_proj.shape
     H = H3 // 3
 
-    ys_prev = jnp.concatenate([h0[None], ys[:-1]], axis=0)
-    # rematerialize gate activations with one big MXU matmul
-    h_proj = jax.lax.dot_general(
-        ys_prev, w_hh_t, (((2,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32) + b_hh.astype(jnp.float32)
-    r = jax.nn.sigmoid(x_proj[..., :H] + h_proj[..., :H])
-    z = jax.nn.sigmoid(x_proj[..., H:2 * H] + h_proj[..., H:2 * H])
-    hn = h_proj[..., 2 * H:]
-    n = jnp.tanh(x_proj[..., 2 * H:] + r * hn)
-    acts = jnp.concatenate([r, z, n], axis=-1)
-
+    # gate activations rematerialize INSIDE the kernel (one batched MXU
+    # matmul per block) — no (T, B, 3H) acts tensor or h_prev concat in
+    # HBM
     dgx, dgh, dh0 = _gru_run_bwd(
-        acts, hn, ys_prev, dys.astype(jnp.float32),
-        jnp.swapaxes(w_hh_t, 0, 1), dhT.astype(jnp.float32))
+        x_proj, ys, w_hh_t, b_hh.astype(jnp.float32), h0,
+        dys.astype(jnp.float32), dhT.astype(jnp.float32))
 
-    # weight/bias grads reduce OUTSIDE as one big matmul over all steps
+    # weight/bias grads reduce OUTSIDE as one big matmul over all steps:
+    # the h0 rank-1 term plus one contiguous-slice product
     dwhh_t = jax.lax.dot_general(
-        ys_prev.reshape(T * B, H), dgh.reshape(T * B, H3),
+        ys[:T - 1].reshape((T - 1) * B, H), dgh[1:].reshape((T - 1) * B, H3),
         (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    dwhh_t = dwhh_t + jax.lax.dot_general(
+        h0, dgh[0], (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
     dbhh = jnp.sum(dgh, axis=(0, 1))
     return (dgx, dwhh_t.astype(w_hh_t.dtype), dbhh.astype(b_hh.dtype), dh0)
 
