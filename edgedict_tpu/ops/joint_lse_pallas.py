@@ -29,8 +29,11 @@ Layout notes (Mosaic):
     rounded up to a power of two (≤ROWS) and R_T = ROWS // R_U time
     steps, so every MXU call sees ROWS rows regardless of label length;
   * per-row scalars (lse, the two outputs, their cotangents) travel as
-    (B, nT, ROWS, 1) sublane-major arrays — no lane↔sublane relayout
-    inside the kernel; the wrapper reshapes to (B, T, U+1);
+    plain (B, Tp, r_u) arrays; the (ROWS, 1)-column ↔ (r_t, r_u)-block
+    relayout happens IN-KERNEL on VMEM-resident data.  (They used to
+    travel as (B, nT, ROWS, 1) — but a (…, 1)-trailing tiled HBM layout
+    uses one lane per (8, 128) tile, a 128× physical inflation that
+    cost ~1.6 ms/step in out-of-kernel reshapes/reductions);
   * per-row label ids are pre-tiled to the same (B, ROWS, 1) row layout;
   * the grid is (B, nT) with t innermost, so the per-b dg accumulator
     block is revisited consecutively.
@@ -85,6 +88,39 @@ def joint_lse_eligible(u1, joint_size, vocab):
             and vocab % 128 == 0)
 
 
+def _col_to_block(col, r_t, r_u):
+    """(ROWS, 1) per-row column → (r_t, r_u) block, Mosaic-safe.
+
+    A direct reshape is a sublane→lane relayout Mosaic refuses
+    ("unsupported shape cast"), so build it as scatter-by-mask plus one
+    tiny one-hot matmul: m[i, b] = col[i]·[i%r_u == b], then
+    out[a, :] = Σ_i [i//r_u == a]·m[i, :]."""
+    rows = r_t * r_u
+    lane = jax.lax.broadcasted_iota(jnp.int32, (rows, r_u), 1)
+    irow = jax.lax.broadcasted_iota(jnp.int32, (rows, r_u), 0)
+    m = jnp.where(irow % r_u == lane, col, 0.0)
+    sel = (jax.lax.broadcasted_iota(jnp.int32, (r_t, rows), 1) // r_u
+           == jax.lax.broadcasted_iota(jnp.int32, (r_t, rows), 0))
+    return jax.lax.dot_general(
+        sel.astype(jnp.float32), m, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
+def _block_to_col(x, r_t, r_u):
+    """(r_t, r_u) block → (ROWS, 1) per-row column (inverse of
+    _col_to_block, same Mosaic-safe construction)."""
+    rows = r_t * r_u
+    sel = (jax.lax.broadcasted_iota(jnp.int32, (rows, r_t), 0) // r_u
+           == jax.lax.broadcasted_iota(jnp.int32, (rows, r_t), 1))
+    y = jax.lax.dot_general(
+        sel.astype(jnp.float32), x.astype(jnp.float32),
+        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (rows, r_u), 1)
+    irow = jax.lax.broadcasted_iota(jnp.int32, (rows, r_u), 0)
+    return jnp.sum(jnp.where(irow % r_u == lane, y, 0.0), axis=1,
+                   keepdims=True)
+
+
 def _gather_col(logits, cols, idx, keep=True):
     """Per-row column gather as a masked sum (avoids 1-lane slicing)."""
     return jnp.sum(jnp.where(cols == idx, logits, 0.0), axis=1,
@@ -110,18 +146,24 @@ def _fwd_kernel(f_ref, g_ref, w_ref, bias_ref, lbl_ref,
     v = logits.shape[1]
     cols = jax.lax.broadcasted_iota(jnp.int32, (ROWS, v), 1)
     lbl = lbl_ref[0]                                   # (ROWS, 1) int32
-    blank_ref[0, 0] = _gather_col(logits, cols, blank) - lse
-    label_ref[0, 0] = _gather_col(logits, cols, lbl) - lse
-    lse_ref[0, 0] = lse
+    # per-row (ROWS, 1) columns relayout to (r_t, r_u) IN-KERNEL: the
+    # HBM arrays stay (B, Tp, r_u) — a (…, 1)-trailing tiled layout in
+    # HBM occupies one lane per (8, 128) tile, a 128× physical
+    # inflation that made the out-of-kernel reshape cost ~0.6 ms/step
+    blank_ref[0, 0] = _col_to_block(
+        _gather_col(logits, cols, blank) - lse, r_t, r_u)
+    label_ref[0, 0] = _col_to_block(
+        _gather_col(logits, cols, lbl) - lse, r_t, r_u)
+    lse_ref[0, 0] = _col_to_block(lse, r_t, r_u)
 
 
 def _run_fwd(f, g, w_t, bias, lbl_rows, blank, r_t, r_u):
     B, n_t, _, J = f.shape
     V = w_t.shape[1]
     kernel = functools.partial(_fwd_kernel, blank=blank, r_t=r_t, r_u=r_u)
-    scal = pl.BlockSpec((1, 1, ROWS, 1), lambda b, t: (b, t, 0, 0),
+    scal = pl.BlockSpec((1, 1, r_t, r_u), lambda b, t: (b, t, 0, 0),
                         memory_space=pltpu.VMEM)
-    out3 = [jax.ShapeDtypeStruct((B, n_t, ROWS, 1), jnp.float32)] * 3
+    out3 = [jax.ShapeDtypeStruct((B, n_t, r_t, r_u), jnp.float32)] * 3
     return pl.pallas_call(
         kernel,
         grid=(B, n_t),
@@ -174,9 +216,9 @@ def _bwd_kernel(f_ref, g_ref, w_ref, bias_ref, lbl_ref, lse_ref,
         hb, w_ref[:, :], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32) + bias_ref[:, :]
 
-    lse = lse_ref[0, 0]                                # (ROWS, 1)
-    d_b = db_ref[0, 0]
-    d_l = dl_ref[0, 0]
+    lse = _block_to_col(lse_ref[0, 0], r_t, r_u)       # → (ROWS, 1)
+    d_b = _block_to_col(db_ref[0, 0], r_t, r_u)
+    d_l = _block_to_col(dl_ref[0, 0], r_t, r_u)
     v = logits.shape[1]
     p = jnp.exp(logits - lse)
     cols = jax.lax.broadcasted_iota(jnp.int32, (ROWS, v), 1)
@@ -213,7 +255,7 @@ def _run_bwd(f, g, w_t, bias, lbl_rows, lse, d_blank, d_label,
     B, n_t, _, J = f.shape
     V = w_t.shape[1]
     kernel = functools.partial(_bwd_kernel, blank=blank, r_t=r_t, r_u=r_u)
-    scal = pl.BlockSpec((1, 1, ROWS, 1), lambda b, t: (b, t, 0, 0),
+    scal = pl.BlockSpec((1, 1, r_t, r_u), lambda b, t: (b, t, 0, 0),
                         memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kernel,
@@ -290,16 +332,14 @@ def _prep(f, g, labels, blank):
     return f_p, g_p, lbl_rows, r_u, r_t, T, U1, U
 
 
-def _scal_to_rows(x, B, n_t, r_t, r_u, T, U1):
-    """(B, T, U1) per-cell scalars → the kernel's (B, nT, 128, 1) layout."""
-    out = jnp.zeros((B, n_t * r_t, r_u), jnp.float32)
-    out = out.at[:, :T, :x.shape[2]].set(x.astype(jnp.float32))
-    return out.reshape(B, n_t, ROWS, 1)
-
-
-def _rows_to_scal(x, B, Tp, r_t, r_u):
-    """(B, nT, 128, 1) → (B, Tp, r_u)."""
-    return x.reshape(B, Tp // r_t, r_t, r_u).reshape(B, Tp, r_u)
+def _scal_pad(x, Tp, r_t, r_u):
+    """(B, T, U1) per-cell scalars → the kernel's (B, nT, r_t, r_u)
+    layout (zero pad + contiguous dim split; the (ROWS, 1)-column
+    relayout happens in-kernel)."""
+    B, T, u = x.shape
+    x = jnp.pad(x.astype(jnp.float32),
+                ((0, 0), (0, Tp - T), (0, r_u - u)))
+    return x.reshape(B, Tp // r_t, r_t, r_u)
 
 
 def _mxu_dtype(ref_dtype):
@@ -315,28 +355,28 @@ def _vjp_fwd(f, g, w_t, bias, labels, blank):
     B, Tp, _ = f_p.shape
     dt = _mxu_dtype(f.dtype)
     f4 = f_p.reshape(B, Tp // r_t, r_t, -1)
-    blank4, label4, lse4 = _run_fwd(
+    blank_p, label_p, lse_p = _run_fwd(
         f4.astype(dt), g_p.astype(dt), w_t.astype(dt),
         bias.astype(jnp.float32)[None], lbl_rows, blank, r_t, r_u)
-    blank_lp = _rows_to_scal(blank4, B, Tp, r_t, r_u)[:, :T, :U1]
-    label_lp = _rows_to_scal(label4, B, Tp, r_t, r_u)[:, :T, :U]
-    return (blank_lp, label_lp), (f, g, w_t, bias, labels, lse4)
+    blank_lp = blank_p.reshape(B, Tp, r_u)[:, :T, :U1]
+    label_lp = label_p.reshape(B, Tp, r_u)[:, :T, :U]
+    return (blank_lp, label_lp), (f, g, w_t, bias, labels, lse_p)
 
 
 def _vjp_bwd(blank, res, grads):
-    f, g, w_t, bias, labels, lse4 = res
+    f, g, w_t, bias, labels, lse_p = res
     d_blank, d_label = grads
     f_p, g_p, lbl_rows, r_u, r_t, T, U1, U = _prep(f, g, labels, blank)
     B, Tp, _ = f_p.shape
     n_t = Tp // r_t
-    db4 = _scal_to_rows(d_blank, B, n_t, r_t, r_u, T, U1)
-    dl4 = _scal_to_rows(d_label, B, n_t, r_t, r_u, T, U1)
+    db_p = _scal_pad(d_blank, Tp, r_t, r_u)
+    dl_p = _scal_pad(d_label, Tp, r_t, r_u)
 
     dt = _mxu_dtype(f.dtype)
     f4 = f_p.reshape(B, n_t, r_t, -1)
     df4, dg, dw, dbias = _run_bwd(
         f4.astype(dt), g_p.astype(dt), w_t.astype(dt),
-        bias.astype(jnp.float32)[None], lbl_rows, lse4, db4, dl4,
+        bias.astype(jnp.float32)[None], lbl_rows, lse_p, db_p, dl_p,
         blank, r_t, r_u)
     df = df4.reshape(B, Tp, -1)
     d_labels = np.zeros(labels.shape, jax.dtypes.float0)
