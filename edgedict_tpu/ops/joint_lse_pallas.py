@@ -92,29 +92,23 @@ def _col_to_block(col, r_t, r_u):
     """(ROWS, 1) per-row column → (r_t, r_u) block, Mosaic-safe.
 
     A direct reshape is a sublane→lane relayout Mosaic refuses
-    ("unsupported shape cast"), so build it as scatter-by-mask plus one
-    tiny one-hot matmul: m[i, b] = col[i]·[i%r_u == b], then
-    out[a, :] = Σ_i [i//r_u == a]·m[i, :]."""
+    ("unsupported shape cast").  Instead: scatter each row's value to
+    its target lane by mask (m[i, b] = col[i]·[i%r_u == b]), split the
+    sublane dim (free — leading-dim reshape), and reduce the r_u
+    group-local sublanes.  VPU-only, no MXU."""
     rows = r_t * r_u
     lane = jax.lax.broadcasted_iota(jnp.int32, (rows, r_u), 1)
     irow = jax.lax.broadcasted_iota(jnp.int32, (rows, r_u), 0)
     m = jnp.where(irow % r_u == lane, col, 0.0)
-    sel = (jax.lax.broadcasted_iota(jnp.int32, (r_t, rows), 1) // r_u
-           == jax.lax.broadcasted_iota(jnp.int32, (r_t, rows), 0))
-    return jax.lax.dot_general(
-        sel.astype(jnp.float32), m, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+    return jnp.sum(m.reshape(r_t, r_u, r_u), axis=1)
 
 
 def _block_to_col(x, r_t, r_u):
     """(r_t, r_u) block → (ROWS, 1) per-row column (inverse of
-    _col_to_block, same Mosaic-safe construction)."""
+    _col_to_block: sublane broadcast + masked lane reduce, VPU-only)."""
     rows = r_t * r_u
-    sel = (jax.lax.broadcasted_iota(jnp.int32, (rows, r_t), 0) // r_u
-           == jax.lax.broadcasted_iota(jnp.int32, (rows, r_t), 1))
-    y = jax.lax.dot_general(
-        sel.astype(jnp.float32), x.astype(jnp.float32),
-        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    y = jnp.broadcast_to(x.astype(jnp.float32)[:, None, :],
+                         (r_t, r_u, r_u)).reshape(rows, r_u)
     lane = jax.lax.broadcasted_iota(jnp.int32, (rows, r_u), 1)
     irow = jax.lax.broadcasted_iota(jnp.int32, (rows, r_u), 0)
     return jnp.sum(jnp.where(irow % r_u == lane, y, 0.0), axis=1,
