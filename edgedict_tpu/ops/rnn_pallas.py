@@ -125,19 +125,23 @@ def _fwd_kernel(xp_ref, whh_ref, h0_ref, c0_ref,
     h = h_s[:, :]
     c = c_s[:, :]
     for j in range(k):
-        gates = xp_ref[j] + jnp.dot(
+        gates = xp_ref[j].astype(jnp.float32) + jnp.dot(
             h.astype(whh_ref.dtype), whh_ref[:, :],
             preferred_element_type=jnp.float32)
         h, c = _lstm_cell(gates, c)
-        ys_ref[j] = h
+        ys_ref[j] = h.astype(ys_ref.dtype)
         cs_ref[j] = c
     h_s[:, :] = h
     c_s[:, :] = c
 
 
 def _run_fwd(x_proj, w_hh_t, h0, c0):
-    """x_proj: (T, B, 4H) fp32 (incl. bias).  Returns (ys, cs) over the
-    PADDED Tp; callers slice [:T] and read final state at [T-1]."""
+    """x_proj: (T, B, 4H) incl. bias, in the caller's compute dtype
+    (bf16 in production — activations travel at half the HBM traffic;
+    the chain still accumulates fp32 in the scratch state).  Returns
+    (ys, cs) over the PADDED Tp; ys in x_proj.dtype, cs fp32 (the
+    backward's d-tanh(c) wants the precise cell state); callers slice
+    [:T] and read final state at [T-1]."""
     T, B, H4 = x_proj.shape
     H = H4 // 4
     k = _block_len(T)
@@ -163,7 +167,7 @@ def _run_fwd(x_proj, w_hh_t, h0, c0):
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((tp, B, H), jnp.float32),
+            jax.ShapeDtypeStruct((tp, B, H), x_proj.dtype),
             jax.ShapeDtypeStruct((tp, B, H), jnp.float32),
         ],
         scratch_shapes=[pltpu.VMEM((B, H), jnp.float32),
@@ -185,7 +189,7 @@ def _bwd_step(acts, c_prev, c, dy, dh_in, dc_in, whh_ref):
     g = acts[:, 2 * hdim:3 * hdim]
     o = acts[:, 3 * hdim:]
     tanh_c = jnp.tanh(c)
-    dh = dy + dh_in
+    dh = dy.astype(jnp.float32) + dh_in
     do = dh * tanh_c
     dc = dh * o * (1.0 - tanh_c * tanh_c) + dc_in
     dgates = jnp.concatenate(
@@ -228,7 +232,8 @@ def _bwd_kernel(xp_ref, ys_ref, ysp_ref, cs_ref, csp_ref, whh_t_ref,
     # row j's (h_prev, c_prev): row j-1 of this block; for j=0 the last
     # row of the previous-time block (ysp/csp), or (h0, c0) at t=0
     # (which is the LAST grid step, s == nblocks-1, since time reverses).
-    first_h = jnp.where(s == nblocks - 1, h0_ref[:, :], ysp_ref[k - 1])
+    first_h = jnp.where(s == nblocks - 1,
+                        h0_ref[:, :].astype(ys_ref.dtype), ysp_ref[k - 1])
     first_c = jnp.where(s == nblocks - 1, c0_ref[:, :], csp_ref[k - 1])
     if k > 1:
         ys_prev = jnp.concatenate([first_h[None], ys_ref[:k - 1]], axis=0)
@@ -236,7 +241,7 @@ def _bwd_kernel(xp_ref, ys_ref, ysp_ref, cs_ref, csp_ref, whh_t_ref,
     else:
         ys_prev = first_h[None]
         cs_prev = first_c[None]
-    gates = xp_ref[...] + jnp.dot(
+    gates = xp_ref[...].astype(jnp.float32) + jnp.dot(
         ys_prev.reshape(k * b, hdim).astype(whh_t_ref.dtype),
         whh_t_ref[:, :],
         preferred_element_type=jnp.float32).reshape(k, b, 4 * hdim)
@@ -254,7 +259,7 @@ def _bwd_kernel(xp_ref, ys_ref, ysp_ref, cs_ref, csp_ref, whh_t_ref,
             dc = dc + sel * dcT_ref[:, :]
         dgates, dh, dc = _bwd_step(
             acts[j], cs_prev[j], cs_ref[j], dys_ref[j], dh, dc, whh_ref)
-        dg_ref[j] = dgates
+        dg_ref[j] = dgates.astype(dg_ref.dtype)
     dh_s[:, :] = dh
     dc_s[:, :] = dc
     dh0_ref[:, :] = dh
@@ -303,7 +308,7 @@ def _run_bwd(x_proj, ys, cs, w_hh_t, h0, c0, dys, dhT, dcT):
             pl.BlockSpec((B, H), fixed, memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((tp, B, H4), jnp.float32),
+            jax.ShapeDtypeStruct((tp, B, H4), x_proj.dtype),
             jax.ShapeDtypeStruct((B, H), jnp.float32),
             jax.ShapeDtypeStruct((B, H), jnp.float32),
         ],
@@ -347,8 +352,8 @@ def _vjp_bwd(res, grads):
     # matmul per block) — no (T, B, 4H) acts tensor and no concatenated
     # ys_prev/cs_prev copies ever exist in HBM
     dgates, dh0, dc0 = _run_bwd(
-        x_proj, ys, cs, w_hh_t, h0, c0, dys.astype(jnp.float32),
-        dhT.astype(jnp.float32), dcT.astype(jnp.float32))
+        x_proj, ys, cs, w_hh_t, h0, c0, dys, dhT,
+        dcT.astype(jnp.float32))
 
     # weight grad reduces OUTSIDE as one big matmul over all steps:
     # dW^T = sum_t h_{t-1}^T dgates_t, split as the h0 rank-1 term plus
@@ -358,7 +363,7 @@ def _vjp_bwd(res, grads):
         dgates[1:].reshape((T - 1) * B, H4),
         (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
     dwhh_t = dwhh_t + jax.lax.dot_general(
-        h0, dgates[0], (((0,), (0,)), ((), ())),
+        h0.astype(dgates.dtype), dgates[0], (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
     # cotangent dtypes must match the primals (w_hh_t may be bf16)
     return dgates, dwhh_t.astype(w_hh_t.dtype), dh0, dc0
@@ -377,12 +382,17 @@ def lstm_recurrence_pallas(x_proj, w_hh_t, h0, c0):
 
 
 def _lstm_xproj(params, xs, dtype):
-    """x W_ih^T + b as one big MXU matmul; works for (B,T,in) or (T,B,in)."""
+    """x W_ih^T + b as one big MXU matmul; works for (B,T,in) or (T,B,in).
+    The result is stored in the caller's compute dtype — at bf16 that
+    halves the (T, B, 4H) x_proj HBM traffic through the forward AND
+    backward kernels (gates still accumulate fp32 in-kernel, so only
+    the stored sum x·W+b rounds)."""
     w_ih = params['w_ih'].astype(dtype)
     bias = (params['b_ih'] + params['b_hh']).astype(jnp.float32)
-    return jax.lax.dot_general(
+    xp = jax.lax.dot_general(
         xs, w_ih, (((2,), (1,)), ((), ())),
         preferred_element_type=jnp.float32) + bias
+    return xp.astype(dtype)
 
 
 def _recurrent_dtype(recurrent_dtype):
@@ -448,12 +458,12 @@ def _gru_fwd_kernel(xp_ref, whh_ref, bhh_ref, h0_ref, ys_ref, h_s, *, k):
     for j in range(k):
         h_proj = jnp.dot(h.astype(whh_ref.dtype), whh_ref[:, :],
                          preferred_element_type=jnp.float32) + bhh_ref[0]
-        xp = xp_ref[j]
+        xp = xp_ref[j].astype(jnp.float32)
         r = jax.nn.sigmoid(xp[:, :hdim] + h_proj[:, :hdim])
         z = jax.nn.sigmoid(xp[:, hdim:2 * hdim] + h_proj[:, hdim:2 * hdim])
         n = jnp.tanh(xp[:, 2 * hdim:] + r * h_proj[:, 2 * hdim:])
         h = (1.0 - z) * n + z * h
-        ys_ref[j] = h
+        ys_ref[j] = h.astype(ys_ref.dtype)
     h_s[:, :] = h
 
 
@@ -478,7 +488,7 @@ def _gru_run_fwd(x_proj, w_hh_t, b_hh, h0):
         ],
         out_specs=pl.BlockSpec((k, B, H), lambda t: (t, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((tp, B, H), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((tp, B, H), x_proj.dtype),
         scratch_shapes=[pltpu.VMEM((B, H), jnp.float32)],
         compiler_params=_compiler_params(),
         interpret=_interpret(),
@@ -503,7 +513,8 @@ def _gru_bwd_kernel(xp_ref, ys_ref, ysp_ref, whh_t_ref, bhh_ref, whh_ref,
         dh_s[:, :] = jnp.zeros_like(dh_s)
 
     kb, b, hdim = ys_ref.shape
-    first_h = jnp.where(s == nblocks - 1, h0_ref[:, :], ysp_ref[k - 1])
+    first_h = jnp.where(s == nblocks - 1,
+                        h0_ref[:, :].astype(ys_ref.dtype), ysp_ref[k - 1])
     if k > 1:
         hprev_blk = jnp.concatenate([first_h[None], ys_ref[:k - 1]],
                                     axis=0)
@@ -514,7 +525,7 @@ def _gru_bwd_kernel(xp_ref, ys_ref, ysp_ref, whh_t_ref, bhh_ref, whh_ref,
         whh_t_ref[:, :],
         preferred_element_type=jnp.float32).reshape(k, b, 3 * hdim) \
         + bhh_ref[0]
-    xp = xp_ref[...]
+    xp = xp_ref[...].astype(jnp.float32)
     r_blk = jax.nn.sigmoid(xp[..., :hdim] + h_proj[..., :hdim])
     z_blk = jax.nn.sigmoid(xp[..., hdim:2 * hdim]
                            + h_proj[..., hdim:2 * hdim])
@@ -531,7 +542,7 @@ def _gru_bwd_kernel(xp_ref, ys_ref, ysp_ref, whh_t_ref, bhh_ref, whh_ref,
         n = n_blk[j]
         hn = hn_blk[j]
         h_prev = hprev_blk[j]
-        dh = dh + dys_ref[j]
+        dh = dh + dys_ref[j].astype(jnp.float32)
         dn = dh * (1.0 - z)
         dz = dh * (h_prev - n)
         da_n = dn * (1.0 - n * n)
@@ -541,8 +552,8 @@ def _gru_bwd_kernel(xp_ref, ys_ref, ysp_ref, whh_t_ref, bhh_ref, whh_ref,
         da_z = dz * z * (1.0 - z)
         dgx = jnp.concatenate([da_r, da_z, da_n], axis=1)    # (B, 3H)
         dgh = jnp.concatenate([da_r, da_z, dhn], axis=1)
-        dgx_ref[j] = dgx
-        dgh_ref[j] = dgh
+        dgx_ref[j] = dgx.astype(dgx_ref.dtype)
+        dgh_ref[j] = dgh.astype(dgh_ref.dtype)
         dh = dh * z + jnp.dot(dgh.astype(whh_ref.dtype), whh_ref[:, :],
                               preferred_element_type=jnp.float32)
     dh_s[:, :] = dh
@@ -583,8 +594,8 @@ def _gru_run_bwd(x_proj, ys, w_hh_t, b_hh, h0, dys, dhT):
             pl.BlockSpec((B, H), fixed, memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((tp, B, H3), jnp.float32),
-            jax.ShapeDtypeStruct((tp, B, H3), jnp.float32),
+            jax.ShapeDtypeStruct((tp, B, H3), x_proj.dtype),
+            jax.ShapeDtypeStruct((tp, B, H3), x_proj.dtype),
             jax.ShapeDtypeStruct((B, H), jnp.float32),
         ],
         scratch_shapes=[pltpu.VMEM((B, H), jnp.float32)],
@@ -622,8 +633,7 @@ def _gru_vjp_bwd(res, grads):
     # matmul per block) — no (T, B, 3H) acts tensor or h_prev concat in
     # HBM
     dgx, dgh, dh0 = _gru_run_bwd(
-        x_proj, ys, w_hh_t, b_hh.astype(jnp.float32), h0,
-        dys.astype(jnp.float32), dhT.astype(jnp.float32))
+        x_proj, ys, w_hh_t, b_hh.astype(jnp.float32), h0, dys, dhT)
 
     # weight/bias grads reduce OUTSIDE as one big matmul over all steps:
     # the h0 rank-1 term plus one contiguous-slice product
@@ -631,9 +641,9 @@ def _gru_vjp_bwd(res, grads):
         ys[:T - 1].reshape((T - 1) * B, H), dgh[1:].reshape((T - 1) * B, H3),
         (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
     dwhh_t = dwhh_t + jax.lax.dot_general(
-        h0, dgh[0], (((0,), (0,)), ((), ())),
+        h0.astype(dgh.dtype), dgh[0], (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
-    dbhh = jnp.sum(dgh, axis=(0, 1))
+    dbhh = jnp.sum(dgh, axis=(0, 1), dtype=jnp.float32)
     return (dgx, dwhh_t.astype(w_hh_t.dtype), dbhh.astype(b_hh.dtype), dh0)
 
 
@@ -656,9 +666,9 @@ def gru_layer_tm(params, xs, state, recurrent_dtype=None, mesh=None,
     dtype = xs.dtype
     w_ih = params['w_ih'].astype(dtype)
     b_ih = params['b_ih'].astype(jnp.float32)
-    x_proj = jax.lax.dot_general(
+    x_proj = (jax.lax.dot_general(
         xs, w_ih, (((2,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32) + b_ih
+        preferred_element_type=jnp.float32) + b_ih).astype(dtype)
     w_hh_t = jnp.swapaxes(params['w_hh'], 0, 1).astype(
         _recurrent_dtype(recurrent_dtype))
     b_hh = params['b_hh'].astype(jnp.float32)
