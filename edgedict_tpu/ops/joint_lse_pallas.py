@@ -175,6 +175,8 @@ def _run_fwd(f, g, w_t, bias, lbl_rows, blank, r_t, r_u):
         ],
         out_specs=[scal, scal, scal],
         out_shape=out3,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
     )(f, g, w_t, bias, lbl_rows)
 
@@ -290,6 +292,8 @@ def _run_bwd(f, g, w_t, bias, lbl_rows, lse, d_blank, d_label,
             pltpu.VMEM((J, V), jnp.float32),
             pltpu.VMEM((1, V), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
     )(f, g, w_t, bias, lbl_rows, lse, d_blank, d_label)
 
