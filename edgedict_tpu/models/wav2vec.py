@@ -544,6 +544,10 @@ def sample_negatives(rng, y, num, n_negatives, cross_sample_negatives=0):
     when negatives_from_everywhere samples the full unmasked sequence).
     Returns (n_negatives + cross_sample_negatives, B, num, F)."""
     b, tsz, fsz = y.shape
+    if n_negatives == 0 and cross_sample_negatives == 0:
+        # codebook-only negatives: no sampled negatives at all (the
+        # reference returns an empty tensor here, rnnt/wav2vec.py:208-209)
+        return jnp.zeros((0, b, num, fsz), y.dtype)
     rng_w, rng_x = jax.random.split(rng)
     parts = []
     if n_negatives > 0:

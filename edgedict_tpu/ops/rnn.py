@@ -107,11 +107,11 @@ def _pallas_eligible(xs, hidden, env='EDGEDICT_PALLAS_LSTM',
 
 
 def lstm_layer(params, xs, state):
-    """Single-layer LSTM over time.
+    """Single-layer LSTM over time, batch-major.
 
-    On TPU with tile-aligned shapes this dispatches to the Pallas
-    recurrence kernel (ops/rnn_pallas.py — measured 1.8× the scan on
-    fwd+bwd at encoder scale); otherwise the lax.scan path below.
+    Delegates to the time-major layer via two transposes (XLA fuses them
+    into the surrounding matmuls; the Pallas kernels are time-major
+    internally anyway).
 
     Args:
       params: dict from lstm_init.
@@ -120,44 +120,8 @@ def lstm_layer(params, xs, state):
     Returns:
       ys: (B, T, H); new (h, c).
     """
-    h0, c0 = state
-    if _pallas_eligible(xs, h0.shape[-1]):
-        from edgedict_tpu.ops.rnn_pallas import lstm_layer_pallas
-        ctx = current_mesh()
-        if ctx is not None and dict(ctx[0].shape).get(ctx[1], 1) > 1:
-            return lstm_layer_pallas(params, xs, state,
-                                     mesh=ctx[0], batch_axis=ctx[1])
-        return lstm_layer_pallas(params, xs, state)
-    dtype = xs.dtype
-    w_ih = params['w_ih'].astype(dtype)
-    w_hh = params['w_hh'].astype(jnp.float32)
-    bias = (params['b_ih'] + params['b_hh']).astype(jnp.float32)
-    # one big MXU matmul for the whole sequence
-    x_proj = jax.lax.dot_general(
-        xs, w_ih, (((2,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)  # (B, T, 4H)
-
-    hidden = h0.shape[-1]
-
-    def step(carry, x_t):
-        h, c = carry
-        gates = x_t + bias + jnp.dot(h, w_hh.T,
-                                     preferred_element_type=jnp.float32)
-        i, f, g, o = jnp.split(gates, 4, axis=-1)
-        i = jax.nn.sigmoid(i)
-        f = jax.nn.sigmoid(f)
-        g = jnp.tanh(g)
-        o = jax.nn.sigmoid(o)
-        c = f * c + i * g
-        h = o * jnp.tanh(c)
-        return (h, c), h
-
-    (h, c), ys = jax.lax.scan(
-        step, (h0.astype(jnp.float32), c0.astype(jnp.float32)),
-        jnp.swapaxes(x_proj, 0, 1))
-    ys = jnp.swapaxes(ys, 0, 1).astype(dtype)
-    del hidden
-    return ys, (h.astype(h0.dtype), c.astype(c0.dtype))
+    ys, st = lstm_layer_tm(params, jnp.swapaxes(xs, 0, 1), state)
+    return jnp.swapaxes(ys, 0, 1), st
 
 
 def _route_pallas(fn_name, params, xs, state):
@@ -177,7 +141,12 @@ def lstm_layer_tm(params, xs, state):
     recurrence kernels are time-major, so batch-major callers pay two
     ~200 MB HBM transposes per layer per direction that XLA cannot fuse
     into the custom call.  The scan fallback is naturally time-major too
-    (lax.scan carries the leading axis) — this path has NO transposes."""
+    (lax.scan carries the leading axis) — this path has NO transposes.
+
+    On TPU with tile-aligned shapes dispatches to the Pallas recurrence
+    kernel (ops/rnn_pallas.py — measured 1.8× the scan on fwd+bwd at
+    encoder scale), per-shard under shard_map when a mesh_context is
+    active; otherwise the lax.scan path below."""
     h0, c0 = state
     if _pallas_eligible(xs, h0.shape[-1], time_major=True):
         return _route_pallas('lstm_layer_tm', params, xs, state)
@@ -238,51 +207,18 @@ def gru_layer_tm(params, xs, state):
 
 
 def gru_layer(params, xs, state):
-    """Single-layer GRU over time (torch gate semantics).
+    """Single-layer GRU over time (torch gate semantics), batch-major.
 
     r = σ(W_ir x + b_ir + W_hr h + b_hr)
     z = σ(W_iz x + b_iz + W_hz h + b_hz)
     n = tanh(W_in x + b_in + r ⊙ (W_hn h + b_hn))
     h' = (1 − z) ⊙ n + z ⊙ h
 
-    Args/returns as lstm_layer but state is h only: (B, H).
-
-    On TPU with tile-aligned shapes this dispatches to the Pallas GRU
-    recurrence (forward AND backward via custom VJP); mesh-context routing
-    as in lstm_layer.  EDGEDICT_PALLAS_GRU=0|force overrides.
-    """
-    h0 = state
-    if _pallas_eligible(xs, h0.shape[-1], env='EDGEDICT_PALLAS_GRU'):
-        from edgedict_tpu.ops.rnn_pallas import gru_layer_pallas
-        ctx = current_mesh()
-        if ctx is not None and dict(ctx[0].shape).get(ctx[1], 1) > 1:
-            return gru_layer_pallas(params, xs, state,
-                                    mesh=ctx[0], batch_axis=ctx[1])
-        return gru_layer_pallas(params, xs, state)
-    dtype = xs.dtype
-    w_ih = params['w_ih'].astype(dtype)
-    w_hh = params['w_hh'].astype(jnp.float32)
-    b_ih = params['b_ih'].astype(jnp.float32)
-    b_hh = params['b_hh'].astype(jnp.float32)
-    x_proj = jax.lax.dot_general(
-        xs, w_ih, (((2,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32) + b_ih  # (B, T, 3H)
-
-    def step(h, x_t):
-        h_proj = jnp.dot(h, w_hh.T,
-                         preferred_element_type=jnp.float32) + b_hh
-        xr, xz, xn = jnp.split(x_t, 3, axis=-1)
-        hr, hz, hn = jnp.split(h_proj, 3, axis=-1)
-        r = jax.nn.sigmoid(xr + hr)
-        z = jax.nn.sigmoid(xz + hz)
-        n = jnp.tanh(xn + r * hn)
-        h = (1.0 - z) * n + z * h
-        return h, h
-
-    h, ys = jax.lax.scan(step, h0.astype(jnp.float32),
-                         jnp.swapaxes(x_proj, 0, 1))
-    ys = jnp.swapaxes(ys, 0, 1).astype(dtype)
-    return ys, h.astype(h0.dtype)
+    Args/returns as lstm_layer but state is h only: (B, H).  Delegates to
+    the time-major layer (Pallas forward+backward via custom VJP on TPU;
+    EDGEDICT_PALLAS_GRU=0|force overrides)."""
+    ys, h = gru_layer_tm(params, jnp.swapaxes(xs, 0, 1), state)
+    return jnp.swapaxes(ys, 0, 1), h
 
 
 def stacked_lstm_init(key, input_size, hidden_size, num_layers):

@@ -218,9 +218,9 @@ def _bwd_kernel(xp_ref, ys_ref, ysp_ref, cs_ref, csp_ref, whh_t_ref,
     concatenated _prev copies exist anywhere.
 
     The final-state cotangents (dhT, dcT) belong to t = T-1, i.e. block
-    0, inner index j_final = Tp - T (static); `sel` gates them to block
-    0 so padded tail steps (j < j_final) see pure-zero cotangents and
-    emit zeros."""
+    0, inner index j_final = k-1-(Tp-T) (static); `sel` gates them to
+    block 0, so the padded tail steps (inner index j > j_final, times
+    ≥ T) see pure-zero cotangents and emit zeros."""
     s = pl.program_id(0)
 
     @pl.when(s == 0)

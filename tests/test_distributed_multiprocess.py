@@ -14,6 +14,21 @@ import pytest
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+def _cache_dir(tmp_path):
+    """Persistent XLA compile cache if writable, else per-test tmp."""
+    d = os.environ.get('JAX_COMPILATION_CACHE_DIR',
+                       os.path.expanduser('~/.cache/edgedict_tpu_xla_cpu'))
+    try:
+        os.makedirs(d, exist_ok=True)
+        probe = os.path.join(d, '.probe')
+        with open(probe, 'w'):
+            pass
+        os.remove(probe)
+        return d
+    except OSError:
+        return str(tmp_path / 'xla_cache')
+
+
 def _free_port():
     s = socket.socket()
     s.bind(('127.0.0.1', 0))
@@ -55,10 +70,9 @@ def test_two_process_distributed_training(tmp_path):
         '--dp_size', '-1', '--tp_size', '1',
         # persistent XLA cache: both child processes compile the same
         # 4-device train step — warm suite runs skip it entirely (the
-        # jax cache is concurrency-safe: atomic temp-file renames)
-        '--compilation_cache_dir',
-        os.environ.get('JAX_COMPILATION_CACHE_DIR',
-                       os.path.expanduser('~/.cache/edgedict_tpu_xla_cpu')),
+        # jax cache is concurrency-safe: atomic temp-file renames);
+        # falls back to tmp_path when the home cache isn't writable
+        '--compilation_cache_dir', _cache_dir(tmp_path),
     ]
     # pre-build the char tokenizer cache so both processes agree
     import pickle

@@ -216,6 +216,13 @@ def test_sample_negatives_within_and_cross():
                                          cross_sample_negatives=2))
     assert both.shape == (5, b, m, 2)
 
+    # codebook-only configs sample NO negatives here — empty result, no
+    # crash (reference returns an empty tensor, rnnt/wav2vec.py:207-208)
+    none = np.asarray(W.sample_negatives(jax.random.PRNGKey(5), y, m,
+                                         n_negatives=0,
+                                         cross_sample_negatives=0))
+    assert none.shape == (0, b, m, 2)
+
 
 def test_quantize_input_branch():
     """Input VQ: features quantized+projected before masking; gradient
@@ -252,6 +259,14 @@ def test_negatives_from_everywhere_and_codebook():
     assert res['logits'].shape[2] == mask_idx.shape[1]
     assert np.isfinite(float(loss))
     assert float(jnp.linalg.norm(grads['quantizer']['vars'])) > 0
+
+    # codebook-ONLY negatives (num_negatives=0, cross=0): the sampled-
+    # negative block is empty but the forward still trains
+    cfg = _tiny_cfg(num_negatives=0, cross_sample_negatives=0,
+                    codebook_negatives=2)
+    params, loss, metrics, res, grads, mask_idx = _forward_loss(cfg)
+    assert res['logits'].shape[0] == 1 + 2
+    assert np.isfinite(float(loss))
 
 
 def test_negatives_from_everywhere_unquantized():
