@@ -31,6 +31,9 @@ The `extra` field carries honest-accounting companions (VERDICT rounds 1-2):
   * server_256stream_*: server mode — 256 independent real-time streams
     batched into one dispatch per 75 ms chunk round, tokens fetched every
     round; aggregate sec-audio/sec and how many streams stay real-time.
+    server_round_device_ms / server_device_capacity are the slope-measured
+    per-round device time and the resulting real-time stream capacity
+    without the tunnel's per-round fetch (what a local deployment sees).
 """
 
 import json
@@ -187,7 +190,30 @@ def bench_server_mode(params, cfg, feature_cfg, n_streams=256, rounds=8):
     hop_sec = dec.hop_size / SAMPLE_RATE
     agg = n_streams * hop_sec / wall
     capacity = int(n_streams * hop_sec / wall)  # streams that stay realtime
-    return agg, wall * 1e3, capacity
+
+    # slope-measured per-round DEVICE time (same methodology as the
+    # per-chunk protocol): chain N state-dependent rounds, one value
+    # fetch — the round time a local deployment pays, free of the
+    # tunnel's per-round fetch
+    import jax.numpy as jnp
+    dev_frames = jnp.asarray(frames)
+
+    def run_n(n):
+        dec.reset()
+        state = dec.state
+        t0 = time.time()
+        for _ in range(n):
+            tokens, state = dec.chunk_step(dec.params, state, dev_frames)
+        np.asarray(tokens)
+        return time.time() - t0
+
+    run_n(8)                                        # warmup
+    lo = min(run_n(3) for _ in range(3))
+    hi = min(run_n(13) for _ in range(3))
+    dev_round_ms = max((hi - lo) / 10 * 1e3, 0.0)
+    dev_capacity = (int(n_streams * hop_sec / (dev_round_ms / 1e3))
+                    if dev_round_ms > 0 else 0)
+    return agg, wall * 1e3, capacity, dev_round_ms, dev_capacity
 
 
 def transducer_fwd_flops(cfg, B, T, U1):
@@ -296,8 +322,8 @@ def main():
     block_tp = bench_streaming_block(params, cfg, feature_cfg)
     chunk_tp, chunk_ms, chunk_dev_ms = bench_streaming_per_chunk(
         params, cfg, feature_cfg)
-    server_tp, server_ms, server_cap = bench_server_mode(
-        params, cfg, feature_cfg)
+    server_tp, server_ms, server_cap, server_dev_ms, server_dev_cap = \
+        bench_server_mode(params, cfg, feature_cfg)
     step_ms, mfu, hfu, train_tp = bench_train_step(cfg, batch=32)
     step16_ms, mfu16, hfu16, train16_tp = bench_train_step(cfg, batch=16)
 
@@ -319,6 +345,10 @@ def main():
             'server_256stream_throughput': round(server_tp, 1),
             'server_round_ms': round(server_ms, 3),
             'server_realtime_capacity': server_cap,
+            # slope-measured device round time (free of the per-round
+            # tunnel fetch) and the capacity a local deployment sees
+            'server_round_device_ms': round(server_dev_ms, 3),
+            'server_device_capacity': server_dev_cap,
             'train_step_ms': round(step_ms, 3),
             'train_step_mfu': round(mfu, 4),      # model FLOPs (no remat)
             'train_step_hfu': round(hfu, 4),      # + remat joint recompute

@@ -22,6 +22,9 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from scripts.profile_train_step import _enable_cache
+    _enable_cache()
+
     import edgedict_tpu.models.transducer as TT
     from bench import PEAK_FLOPS, transducer_fwd_flops
     from edgedict_tpu import optim

@@ -57,11 +57,26 @@ def harness_canary(expect_ms=0.73, tol=0.25):
     return ok
 
 
+def _enable_cache():
+    """Share bench.py's persistent XLA compile cache — the component
+    variants here are expensive cold compiles on the tunnel."""
+    import os
+    import jax
+    try:
+        cache = os.path.expanduser('~/.cache/edgedict_tpu_xla')
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update('jax_compilation_cache_dir', cache)
+        jax.config.update('jax_persistent_cache_min_compile_time_secs', 5.0)
+    except Exception:
+        pass
+
+
 def main():
     import argparse
     import jax
     import jax.numpy as jnp
 
+    _enable_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument('--batch', type=int, default=16)
     ap.add_argument('--parts', action='store_true',
