@@ -124,6 +124,11 @@ def define_flags():
       help='data-parallel mesh size; -1 = all devices')
     d(flags.DEFINE_integer, 'tp_size', 1,
       help='tensor-parallel mesh size for the joint/vocab projection')
+    d(flags.DEFINE_integer, 'pp_size', 1,
+      help='pipeline-parallel mesh size: the encoder\'s uniform tail '
+           'layers shard over pp stages (GPipe schedule, '
+           'parallel/pipeline.py); gradient-accumulation microbatches '
+           'stream through the stages')
     d(flags.DEFINE_bool, 'bf16', True, help='bf16 activations/compute')
     d(flags.DEFINE_integer, 'audio_bucket_frames', 128,
       help='pad encoder T to a multiple of this (static-shape buckets)')

@@ -35,24 +35,28 @@ class TrainState(NamedTuple):
     opt_state: Any
 
 
-def make_mesh(dp=-1, tp=1, devices=None):
-    """Device mesh with ('dp', 'tp') axes.  dp=-1 → all remaining devices."""
+def make_mesh(dp=-1, tp=1, pp=1, devices=None):
+    """Device mesh with ('dp', 'tp', 'pp') axes.  dp=-1 → all remaining
+    devices.  'pp' is the encoder pipeline axis (parallel/pipeline.py);
+    'pp' neighbours in the device order should be ICI neighbours so the
+    stage-to-stage ppermute rides ICI."""
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
-    if tp < 1:
-        tp = 1
+    tp = max(tp, 1)
+    pp = max(pp, 1)
     if dp == -1:
-        dp = n // tp
-    if dp < 1 or dp * tp > n:
+        dp = n // (tp * pp)
+    if dp < 1 or dp * tp * pp > n:
         raise ValueError(
-            f'make_mesh(dp={dp}, tp={tp}) needs dp*tp={dp * tp} devices but '
+            f'make_mesh(dp={dp}, tp={tp}, pp={pp}) needs '
+            f'dp*tp*pp={dp * tp * pp} devices but '
             f'jax sees only {n} ({[str(d) for d in devices[:4]]}...). For a '
             f'virtual CPU mesh set JAX_PLATFORMS=cpu and XLA_FLAGS='
             f'--xla_force_host_platform_device_count=N BEFORE jax '
             f'initializes (or jax.config.update("jax_platforms","cpu") '
             f'before first device access — see tests/conftest.py).')
-    dev_array = np.asarray(devices[:dp * tp]).reshape(dp, tp)
-    return Mesh(dev_array, ('dp', 'tp'))
+    dev_array = np.asarray(devices[:dp * tp * pp]).reshape(dp, tp, pp)
+    return Mesh(dev_array, ('dp', 'tp', 'pp'))
 
 
 def param_sharding(params, mesh):

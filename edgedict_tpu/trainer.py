@@ -111,7 +111,8 @@ class Trainer:
             self.tokenizer.build(self.train_dataset.texts())
 
         self.mesh = mesh if mesh is not None else make_mesh(
-            dp=FLAGS.dp_size, tp=FLAGS.tp_size)
+            dp=FLAGS.dp_size, tp=FLAGS.tp_size,
+            pp=getattr(FLAGS, 'pp_size', 1))
         # per-host batches must split across this host's share of 'dp'
         dp_local = max(1, self.mesh.shape['dp'] // jax.process_count())
         self.accum_steps = pick_accum_steps(
@@ -176,9 +177,16 @@ class Trainer:
             input_size=self.feature_cfg.input_size)
         self.state = make_train_state(
             jax.random.PRNGKey(0), self.cfg, self.optimizer, self.mesh)
-        self.train_step = make_train_step(
-            self.cfg, self.optimizer, self.mesh, bf16=FLAGS.bf16,
-            feature_pipeline=self.pipeline)
+        if self.mesh.shape.get('pp', 1) > 1:
+            from edgedict_tpu.parallel import make_train_step_pp
+            # accum microbatches double as pipeline microbatches
+            self.train_step = make_train_step_pp(
+                self.cfg, self.optimizer, self.mesh, bf16=FLAGS.bf16,
+                feature_pipeline=self.pipeline)
+        else:
+            self.train_step = make_train_step(
+                self.cfg, self.optimizer, self.mesh, bf16=FLAGS.bf16,
+                feature_pipeline=self.pipeline)
         self.eval_step = make_eval_step(
             self.cfg, self.mesh, feature_pipeline=self.pipeline)
 

@@ -75,3 +75,43 @@ def test_cli_baseline_train_and_eval(tmp_path):
         cwd=REPO, env=env, capture_output=True, text=True, timeout=600)
     assert r2.returncode == 0, r2.stderr[-3000:]
     assert 'WER' in r2.stdout
+
+
+@pytest.mark.slow
+def test_cli_baseline_train_pipeline_parallel(tmp_path):
+    """--pp_size 2 routes the trainer through the pipelined train step
+    (dp=2 × pp=2 mesh; enc_layers=4 → preamble 2 + 2 pipelined stages)."""
+    corpus = str(tmp_path / 'libri')
+    logs = str(tmp_path / 'logs')
+    _make_corpus(corpus)
+    args = [
+        '--LibriSpeech_train_100', corpus,
+        '--LibriSpeech_train_360', '/nonexistent',
+        '--LibriSpeech_train_500', '/nonexistent',
+        '--LibriSpeech_test', corpus,
+        '--TEDLIUM_train', '/nonexistent',
+        '--CommonVoice', '/nonexistent',
+        '--YT_bloomberg2', '/nonexistent', '--YT_life', '/nonexistent',
+        '--logdir_root', logs, '--name', 'cli-pp',
+        '--tokenizer', 'char',
+        '--batch_size', '4', '--sub_batch_size', '2',
+        '--eval_batch_size', '2',
+        '--enc_hidden_size', '16', '--enc_layers', '4',
+        '--enc_proj_size', '16', '--dec_hidden_size', '16',
+        '--dec_layers', '1', '--dec_proj_size', '16',
+        '--joint_size', '16', '--vocab_embed_size', '8',
+        '--feature_size', '8', '--n_fft', '256', '--win_length', '256',
+        '--hop_length', '128', '--downsample', '3',
+        '--audio_bucket_frames', '8', '--warmup_step', '2',
+        '--loss_step', '1', '--save_step', '1000', '--eval_step', '1000',
+        '--epochs', '2', '--gradclip', '5',
+        '--dp_size', '2', '--tp_size', '1', '--pp_size', '2',
+    ]
+    env = dict(os.environ, JAX_PLATFORMS='cpu',
+               XLA_FLAGS='--xla_force_host_platform_device_count=8',
+               PYTHONPATH=REPO)
+    r = subprocess.run(
+        [sys.executable, '-m', 'cli.baseline', '--mode', 'train'] + args,
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert 'loss' in r.stdout

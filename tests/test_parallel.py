@@ -29,7 +29,7 @@ def _batch(rng, b, t=16, u=6):
 
 def test_train_step_dp_tp_mesh():
     mesh = make_mesh(dp=4, tp=2)
-    assert mesh.shape == {'dp': 4, 'tp': 2}
+    assert mesh.shape == {'dp': 4, 'tp': 2, 'pp': 1}
     opt = optim.build_optimizer('adam', lr=1e-3, gradclip=10.0)
     state = make_train_state(jax.random.PRNGKey(0), CFG, opt, mesh)
     step_fn = make_train_step(CFG, opt, mesh, bf16=False)
