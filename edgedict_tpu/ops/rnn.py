@@ -59,7 +59,10 @@ _MESH_CTX = []
 
 @contextlib.contextmanager
 def mesh_context(mesh, batch_axis='dp'):
-    """Make `mesh` visible to RNN layers traced inside this scope."""
+    """Make `mesh` visible to RNN layers traced inside this scope.
+    batch_axis may be one mesh axis name or a tuple of axes (e.g.
+    ('pp', 'dp') for the pipelined train step, where the joint/loss batch
+    rows spread over both)."""
     _MESH_CTX.append((mesh, batch_axis))
     try:
         yield
@@ -67,9 +70,38 @@ def mesh_context(mesh, batch_axis='dp'):
         _MESH_CTX.pop()
 
 
+_SHARD_LOCAL = ('local', None)
+
+
+@contextlib.contextmanager
+def shard_local_context():
+    """Mark that tracing happens INSIDE an explicit shard_map body: arrays
+    are already per-shard, so eligible kernels issue direct pallas calls
+    (never another shard_map — nesting is illegal) and the multi-device
+    fallback check is skipped.  Used by the pipeline stages
+    (parallel/pipeline.py) and the fused joint+core shard_map body."""
+    _MESH_CTX.append(_SHARD_LOCAL)
+    try:
+        yield
+    finally:
+        _MESH_CTX.pop()
+
+
 def current_mesh():
-    """(mesh, batch_axis) from the innermost mesh_context, or None."""
+    """(mesh, batch_axis) from the innermost mesh_context, or None.
+    Inside shard_local_context this returns ('local', None)."""
     return _MESH_CTX[-1] if _MESH_CTX else None
+
+
+def axis_size(mesh, axis):
+    """Total shard count over `axis` (a mesh axis name or tuple of them)."""
+    shape = dict(mesh.shape)
+    if isinstance(axis, (tuple, list)):
+        n = 1
+        for a in axis:
+            n *= shape.get(a, 1)
+        return n
+    return shape.get(axis, 1)
 
 
 def _pallas_mode(env='EDGEDICT_PALLAS_LSTM'):
@@ -95,9 +127,11 @@ def _pallas_eligible(xs, hidden, env='EDGEDICT_PALLAS_LSTM',
     else:
         b, t, _ = xs.shape
     ctx = current_mesh()
-    if ctx is not None:
+    if ctx == _SHARD_LOCAL:
+        pass                 # already per-shard inside a shard_map body
+    elif ctx is not None:
         mesh, axis = ctx
-        shards = dict(mesh.shape).get(axis, 1)
+        shards = axis_size(mesh, axis)
         if b % shards:
             return False
         b //= shards
@@ -128,7 +162,8 @@ def _route_pallas(fn_name, params, xs, state):
     import edgedict_tpu.ops.rnn_pallas as rp
     fn = getattr(rp, fn_name)
     ctx = current_mesh()
-    if ctx is not None and dict(ctx[0].shape).get(ctx[1], 1) > 1:
+    if ctx is not None and ctx != _SHARD_LOCAL \
+            and axis_size(ctx[0], ctx[1]) > 1:
         return fn(params, xs, state, mesh=ctx[0], batch_axis=ctx[1])
     return fn(params, xs, state)
 

@@ -422,7 +422,7 @@ def lstm_layer_tm(params, xs, state, recurrent_dtype=None, mesh=None,
         _recurrent_dtype(recurrent_dtype))
     h0 = h0.astype(jnp.float32)
     c0 = c0.astype(jnp.float32)
-    if mesh is not None and dict(mesh.shape).get(batch_axis, 1) > 1:
+    if mesh is not None and _axis_size(mesh, batch_axis) > 1:
         ys, hT, cT = _lstm_tm_sharded(mesh, x_proj, w_hh_t, h0, c0,
                                       batch_axis=batch_axis)
     else:
@@ -672,7 +672,7 @@ def gru_layer_tm(params, xs, state, recurrent_dtype=None, mesh=None,
     w_hh_t = jnp.swapaxes(params['w_hh'], 0, 1).astype(
         _recurrent_dtype(recurrent_dtype))
     b_hh = params['b_hh'].astype(jnp.float32)
-    if mesh is not None and dict(mesh.shape).get(batch_axis, 1) > 1:
+    if mesh is not None and _axis_size(mesh, batch_axis) > 1:
         ys, hT = _gru_tm_sharded(mesh, x_proj, w_hh_t, b_hh,
                                  h0.astype(jnp.float32),
                                  batch_axis=batch_axis)
@@ -742,6 +742,17 @@ def gru_recurrence_pallas_sharded(mesh, x_proj, w_hh_t, b_hh, h0,
         mesh, jnp.swapaxes(x_proj, 0, 1), w_hh_t, b_hh, h0,
         batch_axis=batch_axis)
     return jnp.swapaxes(ys, 0, 1), hT
+
+
+def _axis_size(mesh, axis):
+    """Shard count over `axis` (one mesh axis name or a tuple of names)."""
+    shape = dict(mesh.shape)
+    if isinstance(axis, (tuple, list)):
+        n = 1
+        for a in axis:
+            n *= shape.get(a, 1)
+        return n
+    return shape.get(axis, 1)
 
 
 def _shard_map(f, *, mesh, in_specs, out_specs):

@@ -263,7 +263,7 @@ def rnnt_loss_from_joint(joint_params, h_enc, h_dec, labels, xlen, ylen,
 
     from edgedict_tpu.ops import rnn as rnn_ops
     from edgedict_tpu.ops.joint_lse_pallas import (
-        fused_joint_lse, fused_joint_lse_sharded, joint_lse_eligible)
+        fused_joint_lse, joint_lse_eligible)
     w_out = joint_params['out']['w']                  # (V, J)
     if joint_lse_eligible(U1, f.shape[-1], w_out.shape[0]):
         # fused Pallas path: joint-out matmul + logsumexp + gathers in one
@@ -273,17 +273,35 @@ def rnnt_loss_from_joint(joint_params, h_enc, h_dec, labels, xlen, ylen,
         # WITHOUT a mesh context falls back to the XLA path (the same
         # routing contract as the Pallas LSTM, ops/rnn.py).
         ctx = rnn_ops.current_mesh()
-        shards = dict(ctx[0].shape).get(ctx[1], 1) if ctx else 1
+        local = ctx == rnn_ops._SHARD_LOCAL
+        shards = rnn_ops.axis_size(ctx[0], ctx[1]) \
+            if (ctx and not local) else 1
         args = (f, g, jnp.swapaxes(w_out, 0, 1), joint_params['out']['b'],
                 labels.astype(jnp.int32), blank)
-        if ctx is not None and shards > 1:
+        if ctx is not None and not local and shards > 1:
             if B % shards == 0:
-                blank_lp, label_lp = fused_joint_lse_sharded(
-                    ctx[0], *args, batch_axis=ctx[1])
-                return default_core()(blank_lp, label_lp,
-                                      xlen.astype(jnp.int32),
-                                      ylen.astype(jnp.int32))
-        elif jax.device_count() == 1:
+                # one shard_map runs BOTH the fused joint kernel and the
+                # lattice core per batch shard — neither pallas_call ever
+                # meets GSPMD, and the (B,T,U1) transition tensors stay
+                # on their shard
+                from jax.sharding import PartitionSpec as P
+                from edgedict_tpu.ops.rnn_pallas import _shard_map
+                ax = ctx[1]
+
+                def body(f_, g_, w_, b_, l_, xl_, yl_):
+                    with rnn_ops.shard_local_context():
+                        bl, la = fused_joint_lse(f_, g_, w_, b_, l_, blank)
+                        return default_core()(bl, la, xl_, yl_)
+
+                fn = _shard_map(
+                    body, mesh=ctx[0],
+                    in_specs=(P(ax, None, None), P(ax, None, None),
+                              P(None, None), P(None), P(ax, None),
+                              P(ax), P(ax)),
+                    out_specs=P(ax))
+                return fn(*args[:5], xlen.astype(jnp.int32),
+                          ylen.astype(jnp.int32))
+        elif local or jax.device_count() == 1:
             blank_lp, label_lp = fused_joint_lse(*args)
             return default_core()(blank_lp, label_lp,
                                   xlen.astype(jnp.int32),

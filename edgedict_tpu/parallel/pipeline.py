@@ -11,9 +11,12 @@ stages over ICI.  This module implements that axis the SPMD way:
     and including the last in-encoder time reduction — the part whose
     activation shapes differ layer to layer) and a uniform TAIL of
     residual+LayerNorm recurrence layers, all (H → H) at the reduced frame
-    rate.  The preamble weights stay replicated and run on stage 0; the
-    tail layers are STACKED and sharded over 'pp' (each device holds only
-    its n_tail/pp layers — the actual memory win of pipeline parallelism).
+    rate.  The preamble runs on stage 0; inside the step the tail layers
+    are STACKED and laid out one stage per device.  Persistent weight
+    memory: with pp>1, `param_sharding` shards every encoder recurrence
+    weight's gate axis over 'pp', so each device durably holds 1/pp of
+    the encoder (the same total as holding its stage's layers); the
+    in-step restack to per-stage layout is one ICI all-to-all.
   * One `shard_map` over the ('dp', 'pp') axes runs the classic GPipe
     schedule as a `lax.scan` of M + pp - 1 ticks: stage 0 feeds microbatch
     t through the preamble, every stage applies its local tail slice, and
@@ -41,8 +44,7 @@ from edgedict_tpu.models import transducer as T
 from edgedict_tpu.ops import rnn as rnn_ops
 from edgedict_tpu.ops.layers import layer_norm, linear
 from edgedict_tpu.parallel.train import (
-    TrainState, _set_lr, optax_apply_updates, optax_global_norm,
-    param_sharding)
+    TrainState, _set_lr, optax_apply_updates, optax_global_norm)
 
 
 def _shard_map(f, *, mesh, in_specs, out_specs):
@@ -117,6 +119,10 @@ def encoder_pipeline(params, cfg, micros, mesh, dp_axis='dp', pp_axis='pp'):
 
     def body(pre, tail, mic):
         # mic: (M, T, B_local, F) time-major per-shard microbatches
+        with rnn_ops.shard_local_context():
+            return _body_inner(pre, tail, mic)
+
+    def _body_inner(pre, tail, mic):
         stage = jax.lax.axis_index(pp_axis)
         b_loc = mic.shape[2]
 
@@ -196,6 +202,12 @@ def make_train_step_pp(cfg, optimizer, mesh, bf16=True,
         raise NotImplementedError(
             'pipeline v1 does not thread dropout rngs through stages '
             '(the bundled presets train with dropout=0)')
+    if dict(mesh.shape).get('tp', 1) > 1:
+        raise NotImplementedError(
+            'tp>1 with pp>1 is not supported: the pipelined joint/loss '
+            'phase is data-parallel over (pp, dp) and the pipeline '
+            'shard_map does not partition over tp (use tp with the plain '
+            'dp step, or pp with tp=1)')
     pp = dict(mesh.shape)['pp']
     compute_dtype = jnp.bfloat16 if bf16 else jnp.float32
 
@@ -226,8 +238,9 @@ def make_train_step_pp(cfg, optimizer, mesh, bf16=True,
                 h_enc, NamedSharding(mesh, P(('pp', 'dp'))))
         ys, xlen, ylen = flat(batch['ys']), flat(xlen_in), \
             flat(batch['ylen'])
+        # h_dec stays fp32 exactly like the plain step's transducer_loss
+        # (the joint g-projection runs in h_dec.dtype there too)
         h_dec, _ = T.decoder_apply(params['decoder'], cfg, ys)
-        h_dec = h_dec.astype(compute_dtype)
         from edgedict_tpu.ops.rnnt_loss import rnnt_loss_from_joint
         xlen_s = T.scale_length(cfg, xlen, xs.shape[2], t_out)
         losses = rnnt_loss_from_joint(params['joint'], h_enc, h_dec, ys,
@@ -265,6 +278,11 @@ def make_train_step_pp(cfg, optimizer, mesh, bf16=True,
         donate_argnums=(0,))
 
     def fn(state, batch, rng, lr):
-        return jitted(state, batch, rng, lr)
+        # batch rows spread over BOTH axes in the joint/loss phase, so the
+        # fused joint+core and the decoder's Pallas recurrence shard over
+        # ('pp','dp'); the pipeline stages themselves run under
+        # shard_local_context and issue direct per-shard kernels
+        with rnn_ops.mesh_context(mesh, batch_axis=('pp', 'dp')):
+            return jitted(state, batch, rng, lr)
 
     return fn

@@ -61,7 +61,13 @@ def make_mesh(dp=-1, tp=1, pp=1, devices=None):
 
 def param_sharding(params, mesh):
     """Sharding pytree for transducer params: joint vocab projection sharded
-    over 'tp' (weight (V, J) and bias (V,)), everything else replicated."""
+    over 'tp' (weight (V, J) and bias (V,)); with pp>1 the encoder
+    recurrence weights additionally shard their gate axis over 'pp' (each
+    device persistently holds 1/pp of every encoder layer — the pipeline's
+    weight-memory win; the pipelined step reshards them to per-stage
+    layout in-step, one ICI all-to-all).  Everything else replicated."""
+    pp = dict(mesh.shape).get('pp', 1)
+
     def spec_for(path, leaf):
         keys = [getattr(p, 'key', getattr(p, 'idx', None)) for p in path]
         if 'joint' in keys and 'out' in keys \
@@ -72,6 +78,10 @@ def param_sharding(params, mesh):
                 return NamedSharding(mesh, P('tp', None))
             if leaf.ndim == 1:
                 return NamedSharding(mesh, P('tp'))
+        if pp > 1 and 'encoder' in keys and 'rnn' in keys \
+                and leaf.ndim >= 1 and leaf.shape[0] % pp == 0:
+            return NamedSharding(mesh,
+                                 P(*(('pp',) + (None,) * (leaf.ndim - 1))))
         return NamedSharding(mesh, P())
 
     return jax.tree_util.tree_map_with_path(spec_for, params)

@@ -87,6 +87,10 @@ class Wav2VecPretrainer:
             latent_temp=(FLAGS.init_temp, FLAGS.min_temp, FLAGS.temp_decay))
         self.train_dataset = train_dataset
         self.eval_dataset = eval_dataset
+        if getattr(FLAGS, 'pp_size', 1) > 1:
+            raise NotImplementedError(
+                'pipeline parallelism (--pp_size) is wired for the '
+                'transducer trainer only; wav2vec pretraining uses dp/tp')
         self.mesh = mesh if mesh is not None else make_mesh(
             dp=FLAGS.dp_size, tp=FLAGS.tp_size)
         self.accum_steps = max(1, FLAGS.batch_size // FLAGS.sub_batch_size)

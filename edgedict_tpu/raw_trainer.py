@@ -41,6 +41,11 @@ class RawTrainer(Trainer):
 
     def _build_model_and_steps(self):
         FLAGS = self.FLAGS
+        if self.mesh.shape.get('pp', 1) > 1:
+            raise NotImplementedError(
+                'pipeline parallelism (--pp_size) is wired for the '
+                'feature-based trainer only; the raw-waveform FrontEnd '
+                'path trains with dp/tp')
         spec = self.FRONTEND_SPEC
         embed = spec[-1][2]
         self.feature_cfg = None

@@ -76,18 +76,33 @@ def build_datasets(FLAGS, tokenizer):
     return train, eval_ds
 
 
-def pick_accum_steps(batch_size, sub_batch_size, dp_local=1):
+def pick_accum_steps(batch_size, sub_batch_size, dp_local=1, pp=1):
     """Gradient-accumulation steps honoring sub_batch_size as a micro-batch
     UPPER BOUND (the reference's ragged sub-batch loop, cli/baseline.py:
     214-237, accepted non-divisors like E6D2_LARGE_Batch's 128/7; the
     static-shape scan needs equal micro-batches, so we take the largest
-    divisor micro-batch ≤ sub_batch_size that splits across dp)."""
-    for accum in range(1, batch_size + 1):
-        if batch_size % accum:
-            continue
-        micro = batch_size // accum
-        if micro <= sub_batch_size and micro % dp_local == 0:
-            return accum
+    divisor micro-batch ≤ sub_batch_size that splits across dp).
+
+    With pp>1 the accumulation microbatches stream through the pipeline
+    stages, so an accum count that is a multiple of pp is preferred (it
+    keeps the post-pipeline joint/loss resharding over ('pp','dp')
+    engaged); if no such divisor exists, fall back to the plain rule."""
+    def search(extra):
+        for accum in range(1, batch_size + 1):
+            if batch_size % accum or not extra(accum):
+                continue
+            micro = batch_size // accum
+            if micro <= sub_batch_size and micro % dp_local == 0:
+                return accum
+        return None
+
+    if pp > 1:
+        found = search(lambda a: a % pp == 0)
+        if found is not None:
+            return found
+    found = search(lambda a: True)
+    if found is not None:
+        return found
     raise ValueError(
         f'no micro-batch ≤ sub_batch_size={sub_batch_size} divides '
         f'batch_size={batch_size} and the per-host dp size {dp_local}')
@@ -116,7 +131,8 @@ class Trainer:
         # per-host batches must split across this host's share of 'dp'
         dp_local = max(1, self.mesh.shape['dp'] // jax.process_count())
         self.accum_steps = pick_accum_steps(
-            FLAGS.batch_size, FLAGS.sub_batch_size, dp_local)
+            FLAGS.batch_size, FLAGS.sub_batch_size, dp_local,
+            pp=self.mesh.shape.get('pp', 1))
         assert FLAGS.eval_batch_size % dp_local == 0, (
             f'eval_batch_size ({FLAGS.eval_batch_size}) must be divisible '
             f'by the per-host data-parallel size ({dp_local})')

@@ -161,13 +161,16 @@ def test_train_step_routes_fused_joint_on_dp_mesh(monkeypatch):
         return state, metrics
 
     calls = []
-    orig = jl.fused_joint_lse_sharded
+    orig = jl.fused_joint_lse
 
     def spy(*args, **kwargs):
         calls.append(1)
         return orig(*args, **kwargs)
 
-    monkeypatch.setattr(jl, 'fused_joint_lse_sharded', spy)
+    # the sharded branch now runs fused_joint_lse + the lattice core
+    # inside ONE shard_map body (rnnt_loss.rnnt_loss_from_joint); the
+    # kernel entry itself is the spy point
+    monkeypatch.setattr(jl, 'fused_joint_lse', spy)
     import edgedict_tpu.ops.rnnt_loss  # noqa: F401 (spy is looked up late)
     state_p, m_p = one_step('force')
     assert calls, 'fused joint shard_map path did not engage'

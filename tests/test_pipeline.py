@@ -181,6 +181,77 @@ def test_train_step_pp_bf16_trains():
     assert losses[-1] < losses[0]
 
 
+def test_train_step_pp_kernels_forced(monkeypatch):
+    """Force-interpret leg: the Pallas LSTM runs INSIDE the pipeline
+    stages (shard_local_context — direct per-shard kernels, no nested
+    shard_map), and the fused joint+lattice core runs under the
+    ('pp','dp') shard_map.  Parity vs the kernels-off pipelined step."""
+    cfg = T.TransducerConfig(
+        vocab_size=128, vocab_embed_size=8, input_size=16,
+        enc_hidden_size=128, enc_layers=5, enc_proj_size=16,
+        dec_hidden_size=128, dec_layers=1, dec_proj_size=16,
+        joint_size=128, enc_time_reductions=())
+    rng = np.random.RandomState(9)
+    m, b, t, u = 2, 16, 8, 4
+    batch = {
+        'xs': rng.randn(m, b, t, cfg.input_size).astype(np.float32),
+        'xlen': np.full((m, b), t, np.int32),
+        'ys': rng.randint(4, cfg.vocab_size, size=(m, b, u)).astype(np.int32),
+        'ylen': np.full((m, b), u, np.int32),
+    }
+    opt = optim.build_optimizer('sgd', lr=1e-2, momentum=0.0)
+    mesh = make_mesh(dp=1, pp=2)
+
+    def one_step(mode):
+        for k in ('EDGEDICT_PALLAS_LSTM', 'EDGEDICT_PALLAS_JOINT',
+                  'EDGEDICT_PALLAS_RNNT'):
+            monkeypatch.setenv(k, mode)
+        state = make_train_state(jax.random.PRNGKey(10), cfg, opt, mesh)
+        step = make_train_step_pp(cfg, opt, mesh, bf16=False)
+        return step(state, batch, jax.random.PRNGKey(0), jnp.asarray(1e-2))
+
+    state_k, m_k = one_step('force')
+    state_s, m_s = one_step('0')
+    assert np.isfinite(float(m_k['loss']))
+    np.testing.assert_allclose(float(m_k['loss']), float(m_s['loss']),
+                               rtol=1e-4)
+    for a, b_ in zip(jax.tree.leaves(state_k.params),
+                     jax.tree.leaves(state_s.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-3, atol=1e-5)
+
+
+def test_pp_param_sharding_memory_split():
+    """With pp>1 each device persistently holds 1/pp of every encoder
+    recurrence weight (the pipeline's weight-memory win)."""
+    from edgedict_tpu.parallel import param_sharding
+    mesh = make_mesh(dp=2, pp=4)
+    params = T.transducer_init(jax.random.PRNGKey(0), CFG)
+    specs = param_sharding(params, mesh)
+    w = specs['encoder']['layers'][0]['rnn']['w_ih'].spec
+    assert w[0] == 'pp'
+    assert specs['encoder']['layers'][0]['ln']['scale'].spec == ()
+    assert specs['decoder']['lstm']['layers'][0]['w_ih'].spec == ()
+
+
+def test_pick_accum_steps_prefers_pp_multiple():
+    from edgedict_tpu.trainer import pick_accum_steps
+    # without pp: accum=3 (micro 4 ≤ 4); with pp=2 prefer the smallest
+    # even accum whose micro fits: accum=4 (micro 3)
+    assert pick_accum_steps(12, 4, 1) == 3
+    assert pick_accum_steps(12, 4, 1, pp=2) == 4
+    # fallback when no pp multiple exists (batch 6: divisors 1,2,3,6;
+    # micro ≤ 6 → accum=1 plain; pp=4 has no multiple → same fallback)
+    assert pick_accum_steps(6, 6, 1, pp=4) == 1
+
+
+def test_train_step_pp_rejects_tp():
+    mesh = make_mesh(dp=1, tp=2, pp=4)
+    opt = optim.build_optimizer('adam', lr=1e-3)
+    with pytest.raises(NotImplementedError):
+        make_train_step_pp(CFG, opt, mesh)
+
+
 def test_train_step_pp_rejects_dropout():
     cfg = dataclasses.replace(CFG, enc_dropout=0.1)
     mesh = make_mesh(dp=2, pp=4)
