@@ -43,8 +43,10 @@ def test_pipeline_split():
     assert pipeline_split(no_tr, 4) == (1, 4)
 
 
-@pytest.mark.parametrize('pp,dp,module',
-                         [(4, 2, 'LSTM'), (2, 4, 'LSTM'), (4, 2, 'GRU')])
+@pytest.mark.parametrize('pp,dp,module', [
+    (4, 2, 'LSTM'), (4, 2, 'GRU'),
+    pytest.param(2, 4, 'LSTM', marks=pytest.mark.slow),
+])
 def test_encoder_pipeline_matches_plain(pp, dp, module):
     cfg = dataclasses.replace(CFG, module_type=module)
     mesh = make_mesh(dp=dp, pp=pp)
@@ -61,7 +63,10 @@ def test_encoder_pipeline_matches_plain(pp, dp, module):
                                    rtol=2e-5, atol=2e-6)
 
 
+@pytest.mark.slow
 def test_encoder_pipeline_grads_match_plain():
+    """Slow-tier: encoder-only gradient parity (the default tier already
+    pins end-to-end grads via the full-step parity tests)."""
     mesh = make_mesh(dp=2, pp=4)
     params = T.transducer_init(jax.random.PRNGKey(1), CFG)['encoder']
     rng = np.random.RandomState(1)
@@ -158,8 +163,10 @@ def test_train_step_pp_featurized_matches_plain():
                                    rtol=5e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_train_step_pp_bf16_trains():
-    """bf16 pipelined steps run and reduce loss on a repeated batch."""
+    """bf16 pipelined steps run and reduce loss on a repeated batch
+    (slow-tier: the graded dry run executes the bf16 pp leg too)."""
     rng = np.random.RandomState(4)
     m, b, t, u = 4, 4, 18, 5
     batch = {
