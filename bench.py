@@ -68,6 +68,16 @@ def _flagship():
     return cfg, feature_cfg
 
 
+def _serving_dtype():
+    """Serving benches run the production inference dtype: bf16 on TPU
+    (params cast once at decoder construction — B=1 decode is pure weight
+    streaming, so bf16 halves its HBM traffic; scoring stays fp32 inside
+    the step).  Off-TPU keep fp32 for comparability."""
+    import jax
+    import jax.numpy as jnp
+    return jnp.bfloat16 if jax.default_backend() == 'tpu' else None
+
+
 class _IdTok:
     unk_id = 3
 
@@ -83,7 +93,8 @@ def bench_streaming_block(params, cfg, feature_cfg, block=8,
     from edgedict_tpu.stream import StreamingDecoder
 
     dec = StreamingDecoder(params, cfg, feature_cfg, _IdTok(),
-                           step_n_frame=2, block_chunks=block)
+                           step_n_frame=2, block_chunks=block,
+                           compute_dtype=_serving_dtype())
     rng = np.random.RandomState(0)
     audio = (rng.randn(int(SAMPLE_RATE * audio_seconds)) * 0.1
              ).astype(np.float32)
@@ -122,7 +133,8 @@ def bench_streaming_per_chunk(params, cfg, feature_cfg, audio_seconds=30.0):
     from edgedict_tpu.stream import StreamingDecoder
 
     dec = StreamingDecoder(params, cfg, feature_cfg, _IdTok(),
-                           step_n_frame=4, block_chunks=1)
+                           step_n_frame=4, block_chunks=1,
+                           compute_dtype=_serving_dtype())
     rng = np.random.RandomState(1)
     audio = (rng.randn(int(SAMPLE_RATE * audio_seconds)) * 0.1
              ).astype(np.float32)
@@ -175,7 +187,8 @@ def bench_server_mode(params, cfg, feature_cfg, n_streams=256, rounds=8):
     from edgedict_tpu.stream import MultiStreamDecoder
 
     dec = MultiStreamDecoder(params, cfg, feature_cfg, _IdTok(),
-                             n_streams=n_streams, step_n_frame=2)
+                             n_streams=n_streams, step_n_frame=2,
+                             compute_dtype=_serving_dtype())
     rng = np.random.RandomState(2)
     frames = (rng.randn(n_streams, dec.win_size) * 0.1).astype(np.float32)
 

@@ -31,6 +31,10 @@ flags.DEFINE_integer('max_sym_per_frame', 3,
                      'beam search label-expansion budget per encoder '
                      'frame; raise for models with bursty (many tokens '
                      'per frame) alignments')
+flags.DEFINE_string('infer_dtype', 'auto',
+                    'decode compute dtype: auto (bf16 on TPU, fp32 '
+                    'elsewhere), bf16, or fp32 — bf16 params halve the '
+                    'decode weight streaming that bounds B=1 throughput')
 flags.DEFINE_integer('block_chunks', 1,
                      '>1 decodes N chunks per device dispatch (layer-major '
                      'block mode: same output, ~1.6x the throughput at '
@@ -71,6 +75,8 @@ def build_stream_decoder(FLAGS):
         print(f'loaded {path}')
     else:
         print('WARNING: no checkpoint found — using random weights')
+    compute_dtype = resolve_infer_dtype(getattr(FLAGS, 'infer_dtype',
+                                                'auto'))
     if getattr(FLAGS, 'beam_width', 1) > 1:
         from edgedict_tpu.stream import StreamingBeamDecoder
         return StreamingBeamDecoder(
@@ -79,10 +85,21 @@ def build_stream_decoder(FLAGS):
             beam_width=FLAGS.beam_width,
             max_sym_per_frame=getattr(FLAGS, 'max_sym_per_frame', 3),
             merge_prefixes=getattr(FLAGS, 'merge_prefixes', True),
-            block_chunks=getattr(FLAGS, 'block_chunks', 1))
+            block_chunks=getattr(FLAGS, 'block_chunks', 1),
+            compute_dtype=compute_dtype)
     return StreamingDecoder(params, cfg, feature_cfg, tokenizer,
                             step_n_frame=FLAGS.step_n_frame,
-                            block_chunks=getattr(FLAGS, 'block_chunks', 1))
+                            block_chunks=getattr(FLAGS, 'block_chunks', 1),
+                            compute_dtype=compute_dtype)
+
+
+def resolve_infer_dtype(name):
+    import jax
+    import jax.numpy as jnp
+    if name == 'auto':
+        return jnp.bfloat16 if jax.default_backend() == 'tpu' else None
+    return {'bf16': jnp.bfloat16, 'bfloat16': jnp.bfloat16,
+            'fp32': None, 'float32': None}[name]
 
 
 def main(argv):

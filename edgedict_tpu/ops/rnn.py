@@ -140,6 +140,46 @@ def _pallas_eligible(xs, hidden, env='EDGEDICT_PALLAS_LSTM',
     return b % 8 == 0 and hidden % 128 == 0 and t > 1
 
 
+def _pallas_batch_pad(xs, hidden, env='EDGEDICT_PALLAS_LSTM',
+                      time_major=False):
+    """Rows of zero-padding that would make a batch-misaligned call
+    Pallas-eligible, or 0 when padding doesn't apply.
+
+    The streaming decoders run the encoder at B=1 (or a handful of
+    streams): the scan fallback then re-reads W_hh from HBM every time
+    step — at E6D2 that is ~1 GB of weight traffic per 600 ms block,
+    virtually the whole decode wall time — while the Pallas recurrence
+    keeps W_hh VMEM-resident across its time grid and reads it ONCE per
+    layer call.  Padding the batch to the 8-sublane tile and slicing the
+    result back is pure win: the wasted-row gate FLOPs are noise next to
+    the removed weight streaming.  Only for un-meshed (single-device) or
+    shard-local tracing — padding a global batch before shard_map would
+    change its per-shard split."""
+    mode = _pallas_mode(env)
+    if mode == '0':
+        return 0
+    if mode != 'force' and jax.default_backend() != 'tpu':
+        return 0
+    if time_major:
+        t, b, _ = xs.shape
+    else:
+        b, t, _ = xs.shape
+    ctx = current_mesh()
+    if ctx is not None and ctx != _SHARD_LOCAL:
+        return 0
+    if ctx is None and jax.device_count() > 1:
+        return 0
+    if hidden % 128 or t <= 1 or b % 8 == 0:
+        return 0
+    return -b % 8
+
+
+def _pad_rows(x, pad, axis):
+    shape = list(x.shape)
+    shape[axis] = pad
+    return jnp.concatenate([x, jnp.zeros(shape, x.dtype)], axis)
+
+
 def lstm_layer(params, xs, state):
     """Single-layer LSTM over time, batch-major.
 
@@ -185,6 +225,13 @@ def lstm_layer_tm(params, xs, state):
     h0, c0 = state
     if _pallas_eligible(xs, h0.shape[-1], time_major=True):
         return _route_pallas('lstm_layer_tm', params, xs, state)
+    pad = _pallas_batch_pad(xs, h0.shape[-1], time_major=True)
+    if pad:
+        b = xs.shape[1]
+        ys, (h, c) = _route_pallas(
+            'lstm_layer_tm', params, _pad_rows(xs, pad, 1),
+            (_pad_rows(h0, pad, 0), _pad_rows(c0, pad, 0)))
+        return ys[:, :b], (h[:b], c[:b])
     dtype = xs.dtype
     w_ih = params['w_ih'].astype(dtype)
     w_hh = params['w_hh'].astype(jnp.float32)
@@ -217,6 +264,13 @@ def gru_layer_tm(params, xs, state):
     if _pallas_eligible(xs, h0.shape[-1], env='EDGEDICT_PALLAS_GRU',
                         time_major=True):
         return _route_pallas('gru_layer_tm', params, xs, state)
+    pad = _pallas_batch_pad(xs, h0.shape[-1], env='EDGEDICT_PALLAS_GRU',
+                            time_major=True)
+    if pad:
+        b = xs.shape[1]
+        ys, h = _route_pallas('gru_layer_tm', params,
+                              _pad_rows(xs, pad, 1), _pad_rows(h0, pad, 0))
+        return ys[:, :b], h[:b]
     dtype = xs.dtype
     w_ih = params['w_ih'].astype(dtype)
     w_hh = params['w_hh'].astype(jnp.float32)

@@ -402,6 +402,20 @@ def _recurrent_dtype(recurrent_dtype):
     return recurrent_dtype
 
 
+def _w_hh_t(params, recurrent_dtype):
+    """(H, nH) VMEM-resident recurrence weights.  Prefers a pre-transposed
+    'w_hh_t' leaf when the caller cached one (stream decoders: the
+    per-dispatch transpose of W_hh otherwise materializes ~16 MB of HBM
+    traffic per layer per block — at B=1 decode that rivals the kernel's
+    own weight read); training params carry only 'w_hh' (weights change
+    every step, nothing to cache) and transpose here as before."""
+    cached = params.get('w_hh_t')
+    if cached is not None:
+        return cached.astype(_recurrent_dtype(recurrent_dtype))
+    return jnp.swapaxes(params['w_hh'], 0, 1).astype(
+        _recurrent_dtype(recurrent_dtype))
+
+
 def lstm_layer_tm(params, xs, state, recurrent_dtype=None, mesh=None,
                   batch_axis='dp'):
     """Time-major LSTM layer: xs (T, B, in) → (ys (T, B, H), (hT, cT)).
@@ -418,8 +432,7 @@ def lstm_layer_tm(params, xs, state, recurrent_dtype=None, mesh=None,
     h0, c0 = state
     dtype = xs.dtype
     x_proj = _lstm_xproj(params, xs, dtype)
-    w_hh_t = jnp.swapaxes(params['w_hh'], 0, 1).astype(
-        _recurrent_dtype(recurrent_dtype))
+    w_hh_t = _w_hh_t(params, recurrent_dtype)
     h0 = h0.astype(jnp.float32)
     c0 = c0.astype(jnp.float32)
     if mesh is not None and _axis_size(mesh, batch_axis) > 1:
@@ -669,8 +682,7 @@ def gru_layer_tm(params, xs, state, recurrent_dtype=None, mesh=None,
     x_proj = (jax.lax.dot_general(
         xs, w_ih, (((2,), (1,)), ((), ())),
         preferred_element_type=jnp.float32) + b_ih).astype(dtype)
-    w_hh_t = jnp.swapaxes(params['w_hh'], 0, 1).astype(
-        _recurrent_dtype(recurrent_dtype))
+    w_hh_t = _w_hh_t(params, recurrent_dtype)
     b_hh = params['b_hh'].astype(jnp.float32)
     if mesh is not None and _axis_size(mesh, batch_axis) > 1:
         ys, hT = _gru_tm_sharded(mesh, x_proj, w_hh_t, b_hh,

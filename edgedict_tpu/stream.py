@@ -58,11 +58,49 @@ def make_stream_state(params, cfg: T.TransducerConfig, batch=1):
                        h_dec=h_dec[:, 0])
 
 
+def cast_floating(tree, dtype):
+    """Cast every floating-point leaf (params for inference).  bf16 weights
+    halve the decode path's HBM traffic — streaming decode at B=1 is pure
+    weight streaming (VALIDATION.md §3) — at no visible accuracy cost
+    (scores/argmax stay fp32 where it matters: log_softmax upcasts)."""
+    return jax.tree.map(
+        lambda x: x.astype(dtype)
+        if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating) else x, tree)
+
+
+def prepare_inference_params(tree, dtype=None):
+    """Inference-time parameter transform applied once at decoder
+    construction: optionally cast floating leaves to `dtype` (bf16 decode)
+    and cache a transposed copy of every recurrence matrix as a sibling
+    'w_hh_t' leaf — the Pallas recurrence wants (H, nH) weights, and
+    transposing inside the jitted chunk step materializes ~16 MB of HBM
+    traffic per layer per dispatch, rivalling the kernel's own VMEM-
+    resident weight read at B=1 (ops/rnn_pallas.py:_w_hh_t picks the
+    cached leaf up).  Checkpoints are unaffected: the transform is
+    in-memory only."""
+    if isinstance(tree, dict):
+        out = {k: prepare_inference_params(v, dtype) for k, v in tree.items()}
+        if 'w_hh' in out:
+            out['w_hh_t'] = jnp.swapaxes(out['w_hh'], 0, 1)
+        return out
+    if isinstance(tree, (list, tuple)):
+        return type(tree)(prepare_inference_params(v, dtype) for v in tree)
+    if tree is None:
+        return None
+    x = jnp.asarray(tree)
+    if dtype is not None and jnp.issubdtype(x.dtype, jnp.floating):
+        return x.astype(dtype)
+    return tree
+
+
 def _make_chunk_step_fn(params, cfg: T.TransducerConfig,
                         pipeline: FeaturePipeline,
-                        unk_id: Optional[int] = None):
+                        unk_id: Optional[int] = None,
+                        compute_dtype=None):
     """Unjitted chunk-step body (shared by the single-chunk and grouped
-    variants)."""
+    variants).  compute_dtype: cast features to this dtype after the
+    (always-fp32) featurizer — with bf16 params this makes every decode
+    matmul a native MXU bf16 op."""
 
     def frame_loop(params, state, enc_xs):
         """Frame-synchronous greedy loop over encoder outputs (at most one
@@ -101,6 +139,8 @@ def _make_chunk_step_fn(params, cfg: T.TransducerConfig,
         b = audio.shape[0]
         lens = jnp.full((b,), audio.shape[1], jnp.int32)
         xs, _ = pipeline(audio, lens, train=False)
+        if compute_dtype is not None:
+            xs = xs.astype(compute_dtype)
         enc_xs, enc_state = T.encoder_apply(
             params['encoder'], cfg, xs, state.enc_state)
         tokens, h_dec, dec_state = frame_loop(params, state, enc_xs)
@@ -114,10 +154,11 @@ def _make_chunk_step_fn(params, cfg: T.TransducerConfig,
 
 def make_chunk_step(params, cfg: T.TransducerConfig,
                     pipeline: FeaturePipeline, chunk_samples: int,
-                    unk_id: Optional[int] = None):
+                    unk_id: Optional[int] = None, compute_dtype=None):
     """Jitted per-chunk decode step: fn(params, state, audio (1, chunk)) →
     (tokens (n_frames,) int32 with NUL for silent frames, new_state)."""
-    return jax.jit(_make_chunk_step_fn(params, cfg, pipeline, unk_id))
+    return jax.jit(_make_chunk_step_fn(params, cfg, pipeline, unk_id,
+                                       compute_dtype=compute_dtype))
 
 
 def stream_state_sharding(state, mesh, batch_axis='dp'):
@@ -137,7 +178,7 @@ def stream_state_sharding(state, mesh, batch_axis='dp'):
 def make_chunk_step_sharded(params, cfg: T.TransducerConfig,
                             pipeline: FeaturePipeline, chunk_samples: int,
                             mesh, unk_id: Optional[int] = None,
-                            batch_axis='dp'):
+                            batch_axis='dp', compute_dtype=None):
     """Multi-chip serving: the chunk step jitted over a device mesh with the
     STREAM axis sharded over `batch_axis` — serving capacity scales with
     chips (each chunk round is one dispatch; GSPMD splits the batched
@@ -154,7 +195,8 @@ def make_chunk_step_sharded(params, cfg: T.TransducerConfig,
     template = make_stream_state(params, cfg, batch=1)
     state_shard = stream_state_sharding(template, mesh, batch_axis)
     audio_shard = NamedSharding(mesh, P(batch_axis))
-    jitted = jax.jit(_make_chunk_step_fn(params, cfg, pipeline, unk_id),
+    jitted = jax.jit(_make_chunk_step_fn(params, cfg, pipeline, unk_id,
+                                         compute_dtype=compute_dtype),
                      in_shardings=(None, state_shard, audio_shard))
 
     def fn(params, state, audio):
@@ -166,7 +208,8 @@ def make_chunk_step_sharded(params, cfg: T.TransducerConfig,
 
 def make_chunk_group_step(params, cfg: T.TransducerConfig,
                           pipeline: FeaturePipeline, chunk_samples: int,
-                          n_chunks: int, unk_id: Optional[int] = None):
+                          n_chunks: int, unk_id: Optional[int] = None,
+                          compute_dtype=None):
     """Jitted multi-chunk decode step: `n_chunks` consecutive chunks in ONE
     dispatch, processed LAYER-MAJOR.
 
@@ -187,11 +230,14 @@ def make_chunk_group_step(params, cfg: T.TransducerConfig,
     chunks (n_chunks, chunk_samples)) → (tokens (n_chunks, f, 1),
     new_state) — same shape contract as the old chunk-major scan.
     """
-    step = _make_chunk_step_fn(params, cfg, pipeline, unk_id)
+    step = _make_chunk_step_fn(params, cfg, pipeline, unk_id,
+                               compute_dtype=compute_dtype)
 
     def group_step(params, state, chunks):
         lens = jnp.full((n_chunks,), chunks.shape[1], jnp.int32)
         xs, _ = pipeline(chunks, lens, train=False)   # (n_chunks, f, feat)
+        if compute_dtype is not None:
+            xs = xs.astype(compute_dtype)
         f = xs.shape[1]
         xs = xs.reshape(1, n_chunks * f, -1)          # time-concat, B=1
         enc_xs, enc_state = T.encoder_apply(
@@ -215,10 +261,15 @@ class StreamingBeamDecoder:
     def __init__(self, params, cfg, feature_cfg: FeatureConfig, tokenizer,
                  step_n_frame=2, beam_width=4, max_sym_per_frame=3,
                  max_tokens=200, lm=None, merge_prefixes=True,
-                 block_chunks=1):
+                 block_chunks=1, compute_dtype=None):
         assert not feature_cfg.pad_to_divisible
         from edgedict_tpu.models.beam_search import (
             best_hypothesis, make_beam_machinery)
+        params = prepare_inference_params(params, compute_dtype)
+        if lm is not None:       # (lm_params, lm_cfg, lm_weight)
+            lm = (prepare_inference_params(lm[0], compute_dtype),) \
+                + tuple(lm[1:])
+        self._compute_dtype = compute_dtype
         self.params = params
         self.cfg = cfg
         self.tokenizer = tokenizer
@@ -245,6 +296,8 @@ class StreamingBeamDecoder:
         def chunk_step(params, enc_state, beam, audio):
             lens = jnp.full((1,), audio.shape[1], jnp.int32)
             xs, _ = pipeline(audio, lens, train=False)
+            if compute_dtype is not None:
+                xs = xs.astype(compute_dtype)
             return run_frames(params, enc_state, beam, xs)
 
         def group_step(params, enc_state, beam, chunks):
@@ -255,6 +308,8 @@ class StreamingBeamDecoder:
             n_chunks = chunks.shape[0]
             lens = jnp.full((n_chunks,), chunks.shape[1], jnp.int32)
             xs, _ = pipeline(chunks, lens, train=False)
+            if compute_dtype is not None:
+                xs = xs.astype(compute_dtype)
             xs = xs.reshape(1, n_chunks * xs.shape[1], -1)
             return run_frames(params, enc_state, beam, xs)
 
@@ -340,10 +395,15 @@ class MultiStreamBeamDecoder:
     def __init__(self, params, cfg, feature_cfg: FeatureConfig, tokenizer,
                  n_streams, step_n_frame=2, beam_width=4,
                  max_sym_per_frame=3, max_tokens=200, lm=None,
-                 merge_prefixes=True, mesh=None, batch_axis='dp'):
+                 merge_prefixes=True, mesh=None, batch_axis='dp',
+                 compute_dtype=None):
         assert not feature_cfg.pad_to_divisible
         from edgedict_tpu.models.beam_search import (
             best_hypothesis, make_beam_machinery)
+        params = prepare_inference_params(params, compute_dtype)
+        if lm is not None:       # (lm_params, lm_cfg, lm_weight)
+            lm = (prepare_inference_params(lm[0], compute_dtype),) \
+                + tuple(lm[1:])
         self.params = params
         self.cfg = cfg
         self.tokenizer = tokenizer
@@ -364,6 +424,8 @@ class MultiStreamBeamDecoder:
         def chunk_step(params, enc_state, beam, audio):
             lens = jnp.full((n,), audio.shape[1], jnp.int32)
             xs, _ = pipeline(audio, lens, train=False)
+            if compute_dtype is not None:
+                xs = xs.astype(compute_dtype)
             enc_xs, enc_state = T.encoder_apply(
                 params['encoder'], cfg, xs, enc_state)
             valid = jnp.ones((enc_xs.shape[1], n), bool)
@@ -470,8 +532,10 @@ class MultiStreamDecoder:
     (streams are independent, so the forward path emits no collectives)."""
 
     def __init__(self, params, cfg, feature_cfg: FeatureConfig, tokenizer,
-                 n_streams, step_n_frame=2, mesh=None, batch_axis='dp'):
+                 n_streams, step_n_frame=2, mesh=None, batch_axis='dp',
+                 compute_dtype=None):
         assert not feature_cfg.pad_to_divisible
+        params = prepare_inference_params(params, compute_dtype)
         self.params = params
         self.cfg = cfg
         self.tokenizer = tokenizer
@@ -488,10 +552,12 @@ class MultiStreamDecoder:
                 n_streams, dict(mesh.shape))
             self.chunk_step = make_chunk_step_sharded(
                 params, cfg, self.pipeline, self.win_size, mesh,
-                unk_id=unk, batch_axis=batch_axis)
+                unk_id=unk, batch_axis=batch_axis,
+                compute_dtype=compute_dtype)
         else:
             self.chunk_step = make_chunk_step(
-                params, cfg, self.pipeline, self.win_size, unk_id=unk)
+                params, cfg, self.pipeline, self.win_size, unk_id=unk,
+                compute_dtype=compute_dtype)
         self.elapsed = []
         self.reset()
 
@@ -547,9 +613,11 @@ class StreamingDecoder:
     """
 
     def __init__(self, params, cfg, feature_cfg: FeatureConfig, tokenizer,
-                 step_n_frame=2, reset_step=None, block_chunks=1):
+                 step_n_frame=2, reset_step=None, block_chunks=1,
+                 compute_dtype=None):
         assert not feature_cfg.pad_to_divisible, \
             'streaming uses pad_to_divisible=False (rnnt/stream.py:38-44)'
+        params = prepare_inference_params(params, compute_dtype)
         self.params = params
         self.cfg = cfg
         self.tokenizer = tokenizer
@@ -559,11 +627,13 @@ class StreamingDecoder:
             feature_cfg.downsample, step_n_frame)
         unk_id = getattr(tokenizer, 'unk_id', None)
         self.chunk_step = make_chunk_step(
-            params, cfg, self.pipeline, self.win_size, unk_id=unk_id)
+            params, cfg, self.pipeline, self.win_size, unk_id=unk_id,
+            compute_dtype=compute_dtype)
         self.block_chunks = max(1, block_chunks)
         self.group_step = (make_chunk_group_step(
             params, cfg, self.pipeline, self.win_size, self.block_chunks,
-            unk_id=unk_id) if self.block_chunks > 1 else None)
+            unk_id=unk_id, compute_dtype=compute_dtype)
+            if self.block_chunks > 1 else None)
         self.reset_step = reset_step
         self._steps = 0
         self.reset_profile()

@@ -287,3 +287,54 @@ def test_vjp_parity_odd_and_tiny_t():
             params, xs, state)
         jax.tree.map(lambda a, b: np.testing.assert_allclose(
             a, b, rtol=2e-5, atol=2e-5), g_s, g_p)
+
+
+def test_batch_pad_route_matches_scan(monkeypatch):
+    """Streaming-decode shapes (B=1, B=3) route through the Pallas
+    recurrence by zero-padding the batch to the 8-sublane tile
+    (ops/rnn.py:_pallas_batch_pad) and must match the scan fallback —
+    values AND carried state.  shard_local context stands in for the
+    single-device TPU session (the test session holds 8 virtual CPU
+    devices, where the un-meshed pad route correctly declines)."""
+    T_, IN, H = 6, 16, 128
+    lstm_p = rnn_ops.lstm_init(jax.random.PRNGKey(0), IN, H)
+    gru_p = rnn_ops.gru_init(jax.random.PRNGKey(1), IN, H)
+    for B in (1, 3):
+        xs = jax.random.normal(jax.random.PRNGKey(2 + B), (T_, B, IN),
+                               jnp.float32)
+        h0 = jnp.full((B, H), 0.1, jnp.float32)
+        c0 = jnp.full((B, H), -0.2, jnp.float32)
+        monkeypatch.setenv('EDGEDICT_PALLAS_LSTM', '0')
+        monkeypatch.setenv('EDGEDICT_PALLAS_GRU', '0')
+        ys_ref, (h_ref, c_ref) = rnn_ops.lstm_layer_tm(lstm_p, xs, (h0, c0))
+        gy_ref, gh_ref = rnn_ops.gru_layer_tm(gru_p, xs, h0)
+        monkeypatch.setenv('EDGEDICT_PALLAS_LSTM', 'force')
+        monkeypatch.setenv('EDGEDICT_PALLAS_GRU', 'force')
+        with rnn_ops.shard_local_context():
+            assert rnn_ops._pallas_batch_pad(xs, H, time_major=True) \
+                == -B % 8
+            ys, (h, c) = rnn_ops.lstm_layer_tm(lstm_p, xs, (h0, c0))
+            gy, gh = rnn_ops.gru_layer_tm(gru_p, xs, h0)
+        for a, b in ((ys, ys_ref), (h, h_ref), (c, c_ref),
+                     (gy, gy_ref), (gh, gh_ref)):
+            assert a.shape == b.shape
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-5, atol=2e-5)
+
+
+def test_cached_w_hh_t_leaf_is_used():
+    """prepare_inference_params injects a transposed 'w_hh_t' sibling that
+    rnn_pallas._w_hh_t prefers over re-transposing per dispatch."""
+    from edgedict_tpu.ops import rnn_pallas as rp
+    from edgedict_tpu.stream import prepare_inference_params
+    params = rnn_ops.lstm_init(jax.random.PRNGKey(5), 16, 128)
+    prepped = prepare_inference_params({'rnn': params}, jnp.bfloat16)
+    assert prepped['rnn']['w_hh_t'].shape == (128, 4 * 128)
+    assert prepped['rnn']['w_hh_t'].dtype == jnp.bfloat16
+    np.testing.assert_array_equal(
+        np.asarray(prepped['rnn']['w_hh_t'], np.float32),
+        np.asarray(jnp.swapaxes(prepped['rnn']['w_hh'], 0, 1), np.float32))
+    got = rp._w_hh_t(prepped['rnn'], jnp.bfloat16)
+    np.testing.assert_array_equal(np.asarray(got, np.float32),
+                                  np.asarray(prepped['rnn']['w_hh_t'],
+                                             np.float32))

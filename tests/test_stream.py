@@ -332,3 +332,61 @@ def test_block_decode_matches_per_chunk_under_reset_policy():
     assert a == b
     c = blocky.decode_wav_pipelined(audio)
     assert c == a
+
+
+def test_bf16_decode_block_matches_sequential():
+    """The production serving dtype: compute_dtype=bf16 (params cast once,
+    features cast post-featurizer, scoring fp32).  The block == sequential
+    bit-equality contract must survive the dtype switch, and the decoder
+    must run end to end on cached-transpose params."""
+    from edgedict_tpu.stream import StreamingDecoder
+    cfg = T.TransducerConfig(
+        vocab_size=16, vocab_embed_size=8, input_size=9,
+        enc_hidden_size=16, enc_layers=2, enc_proj_size=12,
+        dec_hidden_size=16, dec_layers=1, dec_proj_size=12,
+        joint_size=16, enc_time_reductions=(0,))
+    feature_cfg = FeatureConfig(
+        feature_type='logfbank', feature_size=3, n_fft=64, win_length=40,
+        hop_length=20, downsample=3, pad_to_divisible=False)
+    params = T.transducer_init(jax.random.PRNGKey(13), cfg)
+    blocked = StreamingDecoder(params, cfg, feature_cfg, _Tok(),
+                               step_n_frame=2, block_chunks=4,
+                               compute_dtype=jnp.bfloat16)
+    seq = StreamingDecoder(params, cfg, feature_cfg, _Tok(),
+                           step_n_frame=2, compute_dtype=jnp.bfloat16)
+    # params were cast once at construction
+    assert blocked.params['joint']['out']['w'].dtype == jnp.bfloat16
+    assert blocked.params['encoder']['layers'][0]['rnn']['w_hh_t'].dtype \
+        == jnp.bfloat16
+    rng = np.random.RandomState(5)
+    audio = rng.randn(blocked.win_size + 7 * blocked.hop_size
+                      ).astype(np.float32) * 0.5
+    text_b = blocked.decode_wav(audio)
+    text_s = seq.decode_wav(audio)
+    assert isinstance(text_b, str)
+    assert text_b == text_s
+
+
+def test_bf16_beam_decode_runs_and_merges():
+    """Beam decoder under bf16 compute: scoring stays fp32 (log_softmax
+    upcasts), beam state dtypes follow the cast params, decode_wav runs."""
+    from edgedict_tpu.stream import StreamingBeamDecoder
+    cfg = T.TransducerConfig(
+        vocab_size=16, vocab_embed_size=8, input_size=9,
+        enc_hidden_size=16, enc_layers=2, enc_proj_size=12,
+        dec_hidden_size=16, dec_layers=1, dec_proj_size=12,
+        joint_size=16, enc_time_reductions=(0,))
+    feature_cfg = FeatureConfig(
+        feature_type='logfbank', feature_size=3, n_fft=64, win_length=40,
+        hop_length=20, downsample=3, pad_to_divisible=False)
+    params = T.transducer_init(jax.random.PRNGKey(13), cfg)
+    dec = StreamingBeamDecoder(params, cfg, feature_cfg, _Tok(),
+                               step_n_frame=2, beam_width=3,
+                               compute_dtype=jnp.bfloat16)
+    rng = np.random.RandomState(6)
+    audio = rng.randn(dec.win_size + 5 * dec.hop_size
+                      ).astype(np.float32) * 0.5
+    text = dec.decode_wav(audio)
+    assert isinstance(text, str)
+    # beam log-probs are fp32 regardless of compute dtype
+    assert dec.beam.logp.dtype == jnp.float32
