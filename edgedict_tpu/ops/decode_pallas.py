@@ -1,0 +1,279 @@
+"""Fused frame-synchronous greedy decode step as ONE Pallas kernel.
+
+TPU-native replacement for the streaming greedy loop's per-frame op chain
+(reference rnnt/stream.py:102-119; here stream.py:frame_loop).  The XLA
+`lax.scan` path issues ~15 tiny ops per frame (joint add/tanh, a 640x2048
+logit matmul, argmax, embedding gather, two LSTM cells, a projection and
+the non-blank gating) — each a few MICROseconds of per-op sequencing on a
+~5 MFLOP/frame problem, so block decode is dispatch-latency-bound, not
+compute-bound (VALIDATION.md §3: ~1 ms per 16-frame block at E6D2 while
+the encoder kernels account for <0.3 ms of it).  This kernel runs the
+whole frame loop in one `pallas_call`: every weight the loop touches
+(joint dec/out projections, embedding table, prediction-net LSTM stack,
+output projection) is VMEM-resident across the T-frame `fori_loop`, and a
+frame costs actual compute instead of op dispatch.
+
+Bit-compatibility with the scan path is part of the contract (the block
+and per-chunk decoders are pinned equal to full-sequence decode): every
+matmul accumulates fp32 (`preferred_element_type`), every cast happens
+exactly where stream.py/ops/rnn.py casts (f/g to compute dtype before the
+tanh, logits back to compute dtype before argmax, LSTM state fp32 with
+per-frame round-trip to the carried state dtype, layer outputs to the
+input dtype), the embedding is an exact one-hot row-select with the PAD
+row pre-zeroed (torch padding_idx semantics, ops/layers.py:embedding),
+and argmax resolves ties to the FIRST maximum like jnp.argmax.
+
+Weights enter in right-multiply layout via `build_decode_cache`, attached
+once at decoder construction (stream.py:prepare_inference_params) so no
+per-dispatch transposes reach HBM.
+
+Env EDGEDICT_PALLAS_DECODE: '1' auto (TPU only, default), '0' off,
+'force' on anywhere (interpret off-TPU; CPU-mesh integration tests).
+"""
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _mode():
+    return os.environ.get('EDGEDICT_PALLAS_DECODE', '1')
+
+
+def _interpret():
+    return jax.default_backend() != 'tpu'
+
+
+_VMEM_LIMIT = 100 * 1024 * 1024
+
+
+def build_decode_cache(params):
+    """Kernel-layout views of the joint + prediction-net weights, computed
+    once at decoder construction (never per dispatch, never checkpointed).
+
+    Layout: every matrix transposed to right-multiply (x @ W), biases
+    pre-cast to the fp32 the reference op sequence accumulates in, the
+    LSTM per-layer bias pre-summed exactly like ops/rnn.py:lstm_layer_tm
+    ((b_ih + b_hh) in param dtype, THEN cast), the embedding PAD row
+    pre-zeroed (ops/layers.py:embedding does this per call)."""
+    from edgedict_tpu.tokenizer import PAD
+
+    joint, dec = params['joint'], params['decoder']
+    layers = []
+    for lp in dec['lstm']['layers']:
+        layers.append({
+            'w_ih_t': jnp.swapaxes(lp['w_ih'], 0, 1),
+            'w_hh_t': jnp.swapaxes(lp['w_hh'], 0, 1),
+            'bias': (lp['b_ih'] + lp['b_hh']).astype(jnp.float32)[None, :],
+        })
+    return {
+        'w_dec_t': jnp.swapaxes(joint['w_dec'], 0, 1),
+        'b_joint': joint['b'].astype(jnp.float32)[None, :],
+        'w_out_t': jnp.swapaxes(joint['out']['w'], 0, 1),
+        'b_out': joint['out']['b'].astype(jnp.float32)[None, :],
+        'table': dec['embed']['table'].at[PAD].set(0.0),
+        'layers': layers,
+        'w_proj_t': jnp.swapaxes(dec['proj']['w'], 0, 1),
+        'b_proj': dec['proj']['b'].astype(jnp.float32)[None, :],
+    }
+
+
+def _shapes_ok(cfg):
+    # dec_hidden_size itself must be lane-aligned: the fused gate slices
+    # land at multiples of H inside the (B, 4H) gates tile
+    return (cfg.vocab_size % 128 == 0 and cfg.joint_size % 128 == 0
+            and cfg.dec_proj_size % 128 == 0
+            and cfg.dec_hidden_size % 128 == 0)
+
+
+def _first_argmax(x):
+    """(B, V) → (B, 1) int32 index of the FIRST maximum (jnp.argmax tie
+    semantics), as lane reductions (no 1-D iota: TPU needs >=2-D)."""
+    m = jnp.max(x, axis=1, keepdims=True)
+    col = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    idx = jnp.where(x == m, col, x.shape[1])
+    return jnp.min(idx, axis=1, keepdims=True)
+
+
+def _kernel(f_ref, wdec_ref, bj_ref, wout_ref, bout_ref, tab_ref,
+            *rest, n_layers, blank, unk):
+    layer_refs = rest[:3 * n_layers]
+    (wproj_ref, bproj_ref, hdec0_ref, hs0_ref, cs0_ref,
+     tok_ref, hdec_ref, hs_ref, cs_ref) = rest[3 * n_layers:]
+
+    hdec_ref[:] = hdec0_ref[:]
+    hs_ref[:] = hs0_ref[:]
+    cs_ref[:] = cs0_ref[:]
+
+    n_frames = f_ref.shape[0]
+    vocab = wout_ref.shape[1]
+    dtype = f_ref.dtype
+    state_dtype = hs_ref.dtype
+
+    def mm(a, b):
+        return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+
+    def frame(t, _):
+        h_dec = hdec_ref[:]                              # (B, D) dtype
+        # joint: g from the carried prediction-net output, f precomputed
+        g = (mm(h_dec, wdec_ref[:]) + bj_ref[:]).astype(dtype)
+        h = jnp.tanh(f_ref[t] + g)                       # (B, J) dtype
+        logits = (mm(h, wout_ref[:]) + bout_ref[:]).astype(dtype)
+        pred = _first_argmax(logits)                     # (B, 1) int32
+        if unk is not None:
+            col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+            masked = jnp.where(col == unk,
+                               jnp.asarray(-jnp.inf, dtype), logits)
+            pred = jnp.where(pred == unk, _first_argmax(masked), pred)
+
+        # embedding: exact one-hot row select (PAD row pre-zeroed)
+        colv = jax.lax.broadcasted_iota(
+            jnp.int32, (pred.shape[0], vocab), 1)
+        onehot = (colv == pred).astype(tab_ref.dtype)
+        xs = mm(onehot, tab_ref[:]).astype(tab_ref.dtype)  # (B, emb)
+
+        # prediction-net LSTM stack (ops/rnn.py:lstm_layer_tm scan math)
+        new_h, new_c = [], []
+        for li in range(n_layers):
+            wih_ref, whh_ref, b_ref = layer_refs[3 * li:3 * li + 3]
+            h_prev = hs_ref[li].astype(jnp.float32)
+            c_prev = cs_ref[li].astype(jnp.float32)
+            gates = mm(xs, wih_ref[:]) + b_ref[:] + mm(h_prev, whh_ref[:])
+            hd = c_prev.shape[-1]
+            i = jax.nn.sigmoid(gates[:, :hd])
+            f = jax.nn.sigmoid(gates[:, hd:2 * hd])
+            gg = jnp.tanh(gates[:, 2 * hd:3 * hd])
+            o = jax.nn.sigmoid(gates[:, 3 * hd:])
+            c = f * c_prev + i * gg
+            hh = o * jnp.tanh(c)
+            new_h.append(hh)
+            new_c.append(c)
+            xs = hh.astype(dtype)                        # layer output dtype
+
+        h_dec_new = (mm(xs, wproj_ref[:]) + bproj_ref[:]).astype(dtype)
+
+        adv = pred != blank                              # (B, 1)
+        hdec_ref[:] = jnp.where(adv, h_dec_new, h_dec)
+        for li in range(n_layers):
+            hs_ref[li] = jnp.where(adv, new_h[li].astype(state_dtype),
+                                   hs_ref[li])
+            cs_ref[li] = jnp.where(adv, new_c[li].astype(state_dtype),
+                                   cs_ref[li])
+        tok_ref[t] = pred[:, 0]
+        return 0
+
+    jax.lax.fori_loop(0, n_frames, frame, 0)
+
+
+def _call_kernel(cache, f, h_dec, hs, cs, blank, unk):
+    """f (T, B, J) compute dtype; h_dec (B, D); hs/cs (L, B, H).
+    Returns tokens (T, B) int32 and the updated carries."""
+    n_layers = len(cache['layers'])
+    t, b, _ = f.shape
+    d = cache['w_proj_t'].shape[1]
+    l, _, hid = hs.shape
+
+    ins = [f, cache['w_dec_t'], cache['b_joint'], cache['w_out_t'],
+           cache['b_out'], cache['table']]
+    for lp in cache['layers']:
+        ins += [lp['w_ih_t'], lp['w_hh_t'], lp['bias']]
+    ins += [cache['w_proj_t'], cache['b_proj'], h_dec, hs, cs]
+
+    spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    out_shape = (
+        jax.ShapeDtypeStruct((t, b), jnp.int32),
+        jax.ShapeDtypeStruct((b, d), h_dec.dtype),
+        jax.ShapeDtypeStruct((l, b, hid), hs.dtype),
+        jax.ShapeDtypeStruct((l, b, hid), cs.dtype),
+    )
+    kernel = functools.partial(_kernel, n_layers=n_layers, blank=blank,
+                               unk=unk)
+    return pl.pallas_call(
+        kernel,
+        out_shape=out_shape,
+        in_specs=[spec] * len(ins),
+        out_specs=(spec,) * 4,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=_interpret(),
+    )(*ins)
+
+
+def _pad_rows(x, pad, axis):
+    if not pad:
+        return x
+    shape = list(x.shape)
+    shape[axis] = pad
+    return jnp.concatenate([x, jnp.zeros(shape, x.dtype)], axis)
+
+
+def maybe_greedy_frame_loop(params, cfg, state, enc_xs, unk_id):
+    """Drop-in for stream.py's scan frame loop: enc_xs (B, T, E) →
+    (tokens (T, B) int32, h_dec, dec_state) — or None when the kernel
+    does not apply (off-TPU without force, odd geometry, batch that
+    doesn't divide the active mesh).  Routes through shard_map when
+    traced under an active mesh_context (sharded server decode), pads
+    stray batches to the 8-sublane tile otherwise."""
+    from edgedict_tpu.ops import rnn as rnn_ops
+
+    mode = _mode()
+    if mode == '0':
+        return None
+    if mode != 'force' and jax.default_backend() != 'tpu':
+        return None
+    if '_decode' not in params or not _shapes_ok(cfg):
+        return None
+
+    b = enc_xs.shape[0]
+    ctx = rnn_ops.current_mesh()
+    sharded = (ctx is not None and ctx != rnn_ops._SHARD_LOCAL
+               and rnn_ops.axis_size(ctx[0], ctx[1]) > 1)
+    if sharded:
+        shards = rnn_ops.axis_size(ctx[0], ctx[1])
+        if b % shards or (b // shards) % 8:
+            return None
+    elif ctx is None and jax.device_count() > 1 and mode != 'force':
+        # unmeshed multi-device session: stay on the scan, which GSPMD
+        # shards transparently (same policy as ops/rnn.py)
+        return None
+
+    cache = params['_decode']
+    dtype = enc_xs.dtype
+    # f for ALL frames in one MXU matmul — same contraction (and same
+    # fp32 accumulation + cast) as joint_project's per-frame f
+    f = jax.lax.dot_general(
+        enc_xs, params['joint']['w_enc'].astype(dtype),
+        (((2,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(dtype)
+    f = jnp.swapaxes(f, 0, 1)                            # (T, B, J)
+    h_dec, (hs, cs) = state.h_dec, state.dec_state
+    blank, unk = int(cfg.blank), None if unk_id is None else int(unk_id)
+
+    if sharded:
+        from jax.sharding import PartitionSpec as P
+
+        from edgedict_tpu.ops.rnn_pallas import _shard_map
+        mesh, ax = ctx
+        fn = _shard_map(
+            lambda ca, ff, hd, h, c: _call_kernel(ca, ff, hd, h, c,
+                                                  blank, unk),
+            mesh=mesh,
+            in_specs=(P(), P(None, ax, None), P(ax, None),
+                      P(None, ax, None), P(None, ax, None)),
+            out_specs=(P(None, ax), P(ax, None),
+                       P(None, ax, None), P(None, ax, None)))
+        tokens, h_dec, hs, cs = fn(cache, f, h_dec, hs, cs)
+        return tokens, h_dec, (hs, cs)
+
+    pad = -b % 8
+    tokens, h_dec, hs, cs = _call_kernel(
+        cache, _pad_rows(f, pad, 1), _pad_rows(h_dec, pad, 0),
+        _pad_rows(hs, pad, 1), _pad_rows(cs, pad, 1), blank, unk)
+    if pad:
+        tokens, h_dec = tokens[:, :b], h_dec[:b]
+        hs, cs = hs[:, :b], cs[:, :b]
+    return tokens, h_dec, (hs, cs)

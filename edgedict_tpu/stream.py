@@ -79,9 +79,15 @@ def prepare_inference_params(tree, dtype=None):
     cached leaf up).  Checkpoints are unaffected: the transform is
     in-memory only."""
     if isinstance(tree, dict):
-        out = {k: prepare_inference_params(v, dtype) for k, v in tree.items()}
+        out = {k: prepare_inference_params(v, dtype)
+               for k, v in tree.items() if k != '_decode'}
         if 'w_hh' in out:
             out['w_hh_t'] = jnp.swapaxes(out['w_hh'], 0, 1)
+        if 'joint' in out and 'decoder' in out:
+            # kernel-layout weight views for the fused greedy frame-loop
+            # kernel (ops/decode_pallas.py) — built once, not checkpointed
+            from edgedict_tpu.ops import decode_pallas
+            out['_decode'] = decode_pallas.build_decode_cache(out)
         return out
     if isinstance(tree, (list, tuple)):
         return type(tree)(prepare_inference_params(v, dtype) for v in tree)
@@ -105,7 +111,16 @@ def _make_chunk_step_fn(params, cfg: T.TransducerConfig,
     def frame_loop(params, state, enc_xs):
         """Frame-synchronous greedy loop over encoder outputs (at most one
         token per frame, <unk> re-argmax, prediction net advanced only on
-        non-blank — reference rnnt/stream.py:102-119)."""
+        non-blank — reference rnnt/stream.py:102-119).
+
+        On TPU the whole loop runs as ONE Pallas kernel (every weight it
+        touches VMEM-resident across the frames — ops/decode_pallas.py);
+        the lax.scan below is the exact-math fallback and oracle."""
+        from edgedict_tpu.ops import decode_pallas
+        fused = decode_pallas.maybe_greedy_frame_loop(
+            params, cfg, state, enc_xs, unk_id)
+        if fused is not None:
+            return fused
 
         def frame(carry, h_enc_t):
             h_dec, dec_state = carry             # (B, D), ((L,B,H),(L,B,H))

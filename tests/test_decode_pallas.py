@@ -1,0 +1,214 @@
+"""Fused greedy frame-loop kernel (ops/decode_pallas.py) == the lax.scan
+frame loop (stream.py), which is itself pinned against the reference
+semantics (rnnt/stream.py:102-119) by tests/test_stream.py.
+
+All cases run the kernel in interpret mode (EDGEDICT_PALLAS_DECODE=force
+on the CPU test backend) — the same kernel code path the TPU compiles.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from edgedict_tpu.features import FeatureConfig
+from edgedict_tpu.models import transducer as T
+from edgedict_tpu.stream import (
+    _make_chunk_step_fn, make_stream_state, prepare_inference_params)
+
+# kernel-eligible geometry: vocab/joint/dec_proj/dec_hidden lane-aligned
+ECFG = T.TransducerConfig(
+    vocab_size=256, vocab_embed_size=16, input_size=9,
+    enc_hidden_size=16, enc_layers=1, enc_proj_size=24,
+    dec_hidden_size=128, dec_layers=2, dec_proj_size=128,
+    joint_size=128, enc_time_reductions=())
+
+UNK = 3
+
+
+def _frame_loop(params, cfg, unk_id):
+    return _make_chunk_step_fn(params, cfg, None, unk_id).frame_loop
+
+
+def _run_both(monkeypatch, params, cfg, state, enc_xs, unk_id):
+    monkeypatch.setenv('EDGEDICT_PALLAS_DECODE', '0')
+    ref = _frame_loop(params, cfg, unk_id)(params, state, enc_xs)
+    monkeypatch.setenv('EDGEDICT_PALLAS_DECODE', 'force')
+    out = _frame_loop(params, cfg, unk_id)(params, state, enc_xs)
+    return ref, out
+
+
+def _assert_match(ref, out, atol=1e-5):
+    tok_r, hdec_r, (hs_r, cs_r) = ref
+    tok_o, hdec_o, (hs_o, cs_o) = out
+    np.testing.assert_array_equal(np.asarray(tok_r), np.asarray(tok_o))
+    for r, o in ((hdec_r, hdec_o), (hs_r, hs_o), (cs_r, cs_o)):
+        np.testing.assert_allclose(np.asarray(r, np.float32),
+                                   np.asarray(o, np.float32), atol=atol)
+
+
+@pytest.mark.parametrize('batch,t,unk_id', [(1, 6, UNK), (8, 1, UNK),
+                                            (4, 10, None)])
+def test_fused_matches_scan(monkeypatch, batch, t, unk_id):
+    params = prepare_inference_params(
+        T.transducer_init(jax.random.PRNGKey(0), ECFG))
+    state = make_stream_state(params, ECFG, batch=batch)
+    enc = jax.random.normal(jax.random.PRNGKey(1),
+                            (batch, t, ECFG.enc_proj_size))
+    ref, out = _run_both(monkeypatch, params, ECFG, state, enc, unk_id)
+    _assert_match(ref, out)
+    assert np.asarray(ref[0]).shape == (t, batch)
+
+
+def _biased_params(column, bump):
+    """Params whose joint output bias favors `column` — drives the argmax
+    into a chosen id so specific loop branches are exercised."""
+    params = T.transducer_init(jax.random.PRNGKey(2), ECFG)
+    b = params['joint']['out']['b'].at[column].add(bump)
+    params['joint']['out']['b'] = b
+    return prepare_inference_params(params)
+
+
+def test_fused_blank_heavy_path(monkeypatch):
+    """Blank wins most frames: the prediction net must NOT advance."""
+    params = _biased_params(int(ECFG.blank), 8.0)
+    state = make_stream_state(params, ECFG, batch=2)
+    enc = jax.random.normal(jax.random.PRNGKey(3),
+                            (2, 8, ECFG.enc_proj_size)) * 0.1
+    ref, out = _run_both(monkeypatch, params, ECFG, state, enc, UNK)
+    _assert_match(ref, out)
+    assert (np.asarray(ref[0]) == ECFG.blank).mean() > 0.9
+    # blank everywhere → decoder state must equal the initial state
+    np.testing.assert_allclose(np.asarray(out[2][0]),
+                               np.asarray(state.dec_state[0]))
+
+
+def test_fused_unk_reargmax(monkeypatch):
+    """<unk> wins the raw argmax everywhere: both paths must re-argmax
+    with <unk> suppressed and stay in lockstep."""
+    params = _biased_params(UNK, 8.0)
+    state = make_stream_state(params, ECFG, batch=2)
+    enc = jax.random.normal(jax.random.PRNGKey(4),
+                            (2, 6, ECFG.enc_proj_size))
+    ref, out = _run_both(monkeypatch, params, ECFG, state, enc, UNK)
+    _assert_match(ref, out)
+    assert not (np.asarray(ref[0]) == UNK).any()
+
+
+def test_fused_bf16(monkeypatch):
+    """Production serving dtype: bf16 params + bf16 encoder outputs."""
+    params = prepare_inference_params(
+        T.transducer_init(jax.random.PRNGKey(5), ECFG), jnp.bfloat16)
+    state = make_stream_state(params, ECFG, batch=4)
+    enc = jax.random.normal(jax.random.PRNGKey(6),
+                            (4, 8, ECFG.enc_proj_size)).astype(jnp.bfloat16)
+    ref, out = _run_both(monkeypatch, params, ECFG, state, enc, UNK)
+    _assert_match(ref, out, atol=2e-2)
+    assert out[1].dtype == jnp.bfloat16
+
+
+def test_fused_sharded_matches_scan(monkeypatch):
+    """Kernel under shard_map on a dp mesh (sharded server decode) == the
+    unmeshed scan."""
+    from jax.sharding import Mesh
+
+    from edgedict_tpu.ops import rnn as rnn_ops
+
+    params = prepare_inference_params(
+        T.transducer_init(jax.random.PRNGKey(7), ECFG))
+    batch = 16
+    state = make_stream_state(params, ECFG, batch=batch)
+    enc = jax.random.normal(jax.random.PRNGKey(8),
+                            (batch, 5, ECFG.enc_proj_size))
+    monkeypatch.setenv('EDGEDICT_PALLAS_DECODE', '0')
+    ref = _frame_loop(params, ECFG, UNK)(params, state, enc)
+    monkeypatch.setenv('EDGEDICT_PALLAS_DECODE', 'force')
+    mesh = Mesh(np.array(jax.devices()[:2]), ('dp',))
+    with rnn_ops.mesh_context(mesh, 'dp'):
+        out = _frame_loop(params, ECFG, UNK)(params, state, enc)
+    _assert_match(ref, out)
+
+
+def test_ineligible_batch_falls_back_under_mesh(monkeypatch):
+    """Per-shard batch not tile-aligned → the route declines (returns the
+    scan result) instead of mis-sharding."""
+    from jax.sharding import Mesh
+
+    from edgedict_tpu.ops import decode_pallas as dp
+    from edgedict_tpu.ops import rnn as rnn_ops
+
+    params = prepare_inference_params(
+        T.transducer_init(jax.random.PRNGKey(9), ECFG))
+    state = make_stream_state(params, ECFG, batch=6)
+    enc = jax.random.normal(jax.random.PRNGKey(10),
+                            (6, 3, ECFG.enc_proj_size))
+    monkeypatch.setenv('EDGEDICT_PALLAS_DECODE', 'force')
+    mesh = Mesh(np.array(jax.devices()[:2]), ('dp',))
+    with rnn_ops.mesh_context(mesh, 'dp'):
+        assert dp.maybe_greedy_frame_loop(
+            params, ECFG, state, enc, UNK) is None
+
+
+def test_streaming_decoder_end_to_end_fused(monkeypatch):
+    """Full StreamingDecoder (featurizer → encoder → fused frame loop),
+    per-chunk AND block-grouped, matches the scan decoder's text."""
+    from edgedict_tpu.stream import StreamingDecoder
+
+    feature_cfg = FeatureConfig(
+        feature_type='logfbank', feature_size=3, n_fft=64, win_length=40,
+        hop_length=20, downsample=3, pad_to_divisible=False)
+
+    class _Tok:
+        unk_id = UNK
+
+        def id_to_token(self, i):
+            return chr(ord('a') + i % 26) + '</w>'
+
+    params = T.transducer_init(jax.random.PRNGKey(11), ECFG)
+    audio = (np.random.RandomState(0).randn(40 * 40) * 0.3
+             ).astype(np.float32)
+
+    def run(block):
+        dec = StreamingDecoder(params, ECFG, feature_cfg, _Tok(),
+                               step_n_frame=2, block_chunks=block)
+        return dec.decode_wav(audio)
+
+    monkeypatch.setenv('EDGEDICT_PALLAS_DECODE', '0')
+    ref_chunk, ref_block = run(1), run(4)
+    monkeypatch.setenv('EDGEDICT_PALLAS_DECODE', 'force')
+    assert run(1) == ref_chunk
+    assert run(4) == ref_block
+
+
+def test_multistream_fused_matches_scan(monkeypatch):
+    """Server mode with a non-aligned stream count (pad path)."""
+    from edgedict_tpu.stream import MultiStreamDecoder
+
+    feature_cfg = FeatureConfig(
+        feature_type='logfbank', feature_size=3, n_fft=64, win_length=40,
+        hop_length=20, downsample=3, pad_to_divisible=False)
+
+    class _Tok:
+        unk_id = UNK
+
+        def id_to_token(self, i):
+            return chr(ord('a') + i % 26) + '</w>'
+
+    params = T.transducer_init(jax.random.PRNGKey(12), ECFG)
+
+    def run():
+        dec = MultiStreamDecoder(params, ECFG, feature_cfg, _Tok(),
+                                 n_streams=3, step_n_frame=2)
+        rng = np.random.RandomState(1)
+        outs = ['' for _ in range(3)]
+        for _ in range(3):
+            frames = (rng.randn(3, dec.win_size) * 0.3).astype(np.float32)
+            for s, text in enumerate(dec.decode(frames)):
+                outs[s] += text
+        return outs
+
+    monkeypatch.setenv('EDGEDICT_PALLAS_DECODE', '0')
+    ref = run()
+    monkeypatch.setenv('EDGEDICT_PALLAS_DECODE', 'force')
+    assert run() == ref
