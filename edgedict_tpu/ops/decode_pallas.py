@@ -211,6 +211,41 @@ def _pad_rows(x, pad, axis):
     return jnp.concatenate([x, jnp.zeros(shape, x.dtype)], axis)
 
 
+_TPU_PROBE = []     # memoized: does the kernel actually compile on TPU?
+
+
+def _tpu_kernel_works():
+    """One-time eager compile-and-run probe on tiny shapes.  Mosaic
+    lowering can only be validated on a real TPU backend; if it rejects
+    the kernel (this code is developed against interpret mode), every
+    decoder silently keeps the exact-math scan fallback instead of dying
+    inside a jitted serving step."""
+    if _TPU_PROBE:
+        return _TPU_PROBE[0]
+    try:
+        cache = {
+            'w_dec_t': jnp.zeros((128, 128)),
+            'b_joint': jnp.zeros((1, 128)),
+            'w_out_t': jnp.zeros((128, 128)),
+            'b_out': jnp.zeros((1, 128)),
+            'table': jnp.zeros((128, 8)),
+            'layers': [{'w_ih_t': jnp.zeros((8, 512)),
+                        'w_hh_t': jnp.zeros((128, 512)),
+                        'bias': jnp.zeros((1, 512))}],
+            'w_proj_t': jnp.zeros((128, 128)),
+            'b_proj': jnp.zeros((1, 128)),
+        }
+        out = _call_kernel(cache, jnp.zeros((2, 8, 128)),
+                           jnp.zeros((8, 128)), jnp.zeros((1, 8, 128)),
+                           jnp.zeros((1, 8, 128)), 0, 3)
+        jax.block_until_ready(out)
+        ok = True
+    except Exception:
+        ok = False
+    _TPU_PROBE.append(ok)
+    return ok
+
+
 def maybe_greedy_frame_loop(params, cfg, state, enc_xs, unk_id):
     """Drop-in for stream.py's scan frame loop: enc_xs (B, T, E) →
     (tokens (T, B) int32, h_dec, dec_state) — or None when the kernel
@@ -226,6 +261,8 @@ def maybe_greedy_frame_loop(params, cfg, state, enc_xs, unk_id):
     if mode != 'force' and jax.default_backend() != 'tpu':
         return None
     if '_decode' not in params or not _shapes_ok(cfg):
+        return None
+    if mode != 'force' and not _tpu_kernel_works():
         return None
 
     b = enc_xs.shape[0]
