@@ -40,7 +40,16 @@ def transducer_greedy_decode(params, cfg, xs, xlen):
 
 
 def greedy_decode_from_encoder(params, cfg, h_enc):
-    """Greedy decode given encoder output (B, T', E)."""
+    """Greedy decode given encoder output (B, T', E).
+
+    On TPU the frame loop runs as ONE Pallas kernel walking T' in
+    VMEM-sized slabs (ops/decode_pallas.py — every weight the loop
+    touches stays VMEM-resident); the lax.scan below is the exact-math
+    fallback and oracle."""
+    from edgedict_tpu.ops import decode_pallas
+    fused = decode_pallas.maybe_greedy_decode(params, cfg, h_enc)
+    if fused is not None:
+        return fused
     B = h_enc.shape[0]
     # prime the prediction net with BOS (reference rnnt/models.py:247 decodes
     # an empty token sequence, which prepends BOS)

@@ -100,16 +100,22 @@ def _first_argmax(x):
 
 
 def _kernel(f_ref, wdec_ref, bj_ref, wout_ref, bout_ref, tab_ref,
-            *rest, n_layers, blank, unk):
+            *rest, n_layers, blank, unk, block, t_actual, emit_logp):
     layer_refs = rest[:3 * n_layers]
     (wproj_ref, bproj_ref, hdec0_ref, hs0_ref, cs0_ref,
-     tok_ref, hdec_ref, hs_ref, cs_ref) = rest[3 * n_layers:]
+     tok_ref) = rest[3 * n_layers:3 * n_layers + 6]
+    rest = rest[3 * n_layers + 6:]
+    prob_ref = rest[0] if emit_logp else None
+    hdec_ref, hs_ref, cs_ref = rest[1 if emit_logp else 0:]
 
-    hdec_ref[:] = hdec0_ref[:]
-    hs_ref[:] = hs0_ref[:]
-    cs_ref[:] = cs0_ref[:]
+    gi = pl.program_id(0)
 
-    n_frames = f_ref.shape[0]
+    @pl.when(gi == 0)
+    def _init():
+        hdec_ref[:] = hdec0_ref[:]
+        hs_ref[:] = hs0_ref[:]
+        cs_ref[:] = cs0_ref[:]
+
     vocab = wout_ref.shape[1]
     dtype = f_ref.dtype
     state_dtype = hs_ref.dtype
@@ -125,6 +131,13 @@ def _kernel(f_ref, wdec_ref, bj_ref, wout_ref, bout_ref, tab_ref,
         h = jnp.tanh(f_ref[t] + g)                       # (B, J) dtype
         logits = (mm(h, wout_ref[:]) + bout_ref[:]).astype(dtype)
         pred = _first_argmax(logits)                     # (B, 1) int32
+        if emit_logp:
+            # max log-softmax = -log Σ exp(x − max): the per-frame best
+            # log-prob the offline greedy reports (models/decoding.py)
+            x32 = logits.astype(jnp.float32)
+            m = jnp.max(x32, axis=1, keepdims=True)
+            lse = jnp.log(jnp.sum(jnp.exp(x32 - m), axis=1, keepdims=True))
+            prob_ref[t] = -lse[:, 0]
         if unk is not None:
             col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
             masked = jnp.where(col == unk,
@@ -167,16 +180,35 @@ def _kernel(f_ref, wdec_ref, bj_ref, wout_ref, bout_ref, tab_ref,
         tok_ref[t] = pred[:, 0]
         return 0
 
-    jax.lax.fori_loop(0, n_frames, frame, 0)
+    # last block may be partial: pad frames are never executed, so the
+    # carried decoder state is exact even when T % block != 0
+    valid = jnp.minimum(block, t_actual - gi * block)
+    jax.lax.fori_loop(0, valid, frame, 0)
 
 
-def _call_kernel(cache, f, h_dec, hs, cs, blank, unk):
+def _decode_block(t):
+    """Frames per grid step for the T-blocked offline decode: bounds the
+    VMEM-resident f slab (block × B × J).  Env EDGEDICT_DECODE_BLOCK."""
+    k = int(os.environ.get('EDGEDICT_DECODE_BLOCK', '32'))
+    return max(1, min(k, t))
+
+
+def _call_kernel(cache, f, h_dec, hs, cs, blank, unk, emit_logp=False,
+                 block=None):
     """f (T, B, J) compute dtype; h_dec (B, D); hs/cs (L, B, H).
-    Returns tokens (T, B) int32 and the updated carries."""
+    Returns (tokens (T, B) int32 [, frame log-probs (T, B) f32 when
+    emit_logp], updated carries).  The grid walks T in `block`-frame
+    slabs (whole-T when block is None) so unbounded offline decodes never
+    outgrow VMEM; decoder state persists across grid steps in revisited
+    output blocks."""
     n_layers = len(cache['layers'])
-    t, b, _ = f.shape
+    t, b, j = f.shape
     d = cache['w_proj_t'].shape[1]
     l, _, hid = hs.shape
+
+    k = t if block is None else min(block, t)
+    f = _pad_t(f, k)
+    nb = f.shape[0] // k
 
     ins = [f, cache['w_dec_t'], cache['b_joint'], cache['w_out_t'],
            cache['b_out'], cache['table']]
@@ -184,23 +216,54 @@ def _call_kernel(cache, f, h_dec, hs, cs, blank, unk):
         ins += [lp['w_ih_t'], lp['w_hh_t'], lp['bias']]
     ins += [cache['w_proj_t'], cache['b_proj'], h_dec, hs, cs]
 
-    spec = pl.BlockSpec(memory_space=pltpu.VMEM)
-    out_shape = (
-        jax.ShapeDtypeStruct((t, b), jnp.int32),
+    whole = pl.BlockSpec(memory_space=pltpu.VMEM)
+    in_specs = [pl.BlockSpec((k, b, j), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM)]
+    in_specs += [whole] * (len(ins) - 1)
+
+    out_shape = [jax.ShapeDtypeStruct((f.shape[0], b), jnp.int32)]
+    out_specs = [pl.BlockSpec((k, b), lambda i: (i, 0),
+                              memory_space=pltpu.VMEM)]
+    if emit_logp:
+        out_shape.append(jax.ShapeDtypeStruct((f.shape[0], b), jnp.float32))
+        out_specs.append(pl.BlockSpec((k, b), lambda i: (i, 0),
+                                      memory_space=pltpu.VMEM))
+    carry_shapes = [
         jax.ShapeDtypeStruct((b, d), h_dec.dtype),
         jax.ShapeDtypeStruct((l, b, hid), hs.dtype),
         jax.ShapeDtypeStruct((l, b, hid), cs.dtype),
-    )
+    ]
+    carry_specs = [
+        pl.BlockSpec((b, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((l, b, hid), lambda i: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((l, b, hid), lambda i: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
     kernel = functools.partial(_kernel, n_layers=n_layers, blank=blank,
-                               unk=unk)
-    return pl.pallas_call(
+                               unk=unk, block=k, t_actual=t,
+                               emit_logp=emit_logp)
+    outs = pl.pallas_call(
         kernel,
-        out_shape=out_shape,
-        in_specs=[spec] * len(ins),
-        out_specs=(spec,) * 4,
+        grid=(nb,),
+        out_shape=tuple(out_shape + carry_shapes),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs + carry_specs),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=_interpret(),
     )(*ins)
+    tokens = outs[0][:t]
+    if emit_logp:
+        return (tokens, outs[1][:t]) + outs[2:]
+    return (tokens,) + outs[1:]
+
+
+def _pad_t(x, k):
+    t = x.shape[0]
+    pad = -t % k
+    if not pad:
+        return x
+    return jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1))
 
 
 def _pad_rows(x, pad, axis):
@@ -238,6 +301,13 @@ def _tpu_kernel_works():
         out = _call_kernel(cache, jnp.zeros((2, 8, 128)),
                            jnp.zeros((8, 128)), jnp.zeros((1, 8, 128)),
                            jnp.zeros((1, 8, 128)), 0, 3)
+        jax.block_until_ready(out)
+        # the offline decode additionally uses the T-blocked grid + frame
+        # log-probs — a separate Mosaic lowering; probe it too
+        out = _call_kernel(cache, jnp.zeros((3, 8, 128)),
+                           jnp.zeros((8, 128)), jnp.zeros((1, 8, 128)),
+                           jnp.zeros((1, 8, 128)), 0, None,
+                           emit_logp=True, block=2)
         jax.block_until_ready(out)
         ok = True
     except Exception:
@@ -314,3 +384,58 @@ def maybe_greedy_frame_loop(params, cfg, state, enc_xs, unk_id):
         tokens, h_dec = tokens[:, :b], h_dec[:b]
         hs, cs = hs[:, :b], cs[:, :b]
     return tokens, h_dec, (hs, cs)
+
+
+def maybe_greedy_decode(params, cfg, h_enc):
+    """Offline batched greedy decode (models/decoding.py semantics:
+    log-softmax max per frame, no <unk> suppression) through the fused
+    kernel, T walked in VMEM-sized slabs: h_enc (B, T', E) →
+    (y_seq (B, T') int32, neg_logp (B,) f32) — or None when the kernel
+    does not apply.  Used by trainer eval / cli.wer_parity /
+    cli.wav_inference, where T' is unbounded."""
+    from edgedict_tpu.models import transducer as T
+    from edgedict_tpu.ops import rnn as rnn_ops
+
+    mode = _mode()
+    if mode == '0':
+        return None
+    if mode != 'force' and jax.default_backend() != 'tpu':
+        return None
+    if not _shapes_ok(cfg):
+        return None
+    ctx = rnn_ops.current_mesh()
+    if ctx is not None and ctx != rnn_ops._SHARD_LOCAL \
+            and rnn_ops.axis_size(ctx[0], ctx[1]) > 1:
+        return None            # sharded eval keeps the scan (GSPMD splits it)
+    if ctx is None and jax.device_count() > 1 and mode != 'force':
+        return None
+    if mode != 'force' and not _tpu_kernel_works():
+        return None
+
+    cache = params.get('_decode')
+    if cache is None:
+        cache = build_decode_cache(params)   # in-trace; amortized over T'
+    if h_enc.dtype != jnp.asarray(cache['w_out_t']).dtype:
+        # mixed-dtype joint promotes differently in the scan; stay exact
+        return None
+
+    b, t, _ = h_enc.shape
+    dtype = h_enc.dtype
+    # BOS priming, exactly like greedy_decode_from_encoder
+    empty = jnp.zeros((b, 0), jnp.int32)
+    h_dec0, (hs, cs) = T.decoder_apply(params['decoder'], cfg, empty)
+    h_dec0 = h_dec0[:, 0].astype(dtype)
+    f = jax.lax.dot_general(
+        h_enc, params['joint']['w_enc'].astype(dtype),
+        (((2,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(dtype)
+    f = jnp.swapaxes(f, 0, 1)                            # (T, B, J)
+
+    pad = -b % 8
+    tokens, probs, _, _, _ = _call_kernel(
+        cache, _pad_rows(f, pad, 1), _pad_rows(h_dec0, pad, 0),
+        _pad_rows(hs, pad, 1), _pad_rows(cs, pad, 1),
+        int(cfg.blank), None, emit_logp=True, block=_decode_block(t))
+    y_seq = jnp.swapaxes(tokens[:, :b], 0, 1)            # (B, T')
+    neg_logp = -jnp.sum(probs[:, :b], axis=0)
+    return y_seq, neg_logp

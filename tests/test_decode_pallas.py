@@ -181,6 +181,83 @@ def test_streaming_decoder_end_to_end_fused(monkeypatch):
     assert run(4) == ref_block
 
 
+@pytest.mark.parametrize('batch,t,block', [(3, 10, '4'),   # pad batch + partial tail block
+                                           (8, 4, '32'),   # whole-T (block > T)
+                                           (2, 7, '1')])   # per-frame blocking
+def test_offline_fused_matches_scan(monkeypatch, batch, t, block):
+    """maybe_greedy_decode (T-blocked grid, frame log-probs) == the offline
+    lax.scan in models/decoding.py: tokens exact, neg_logp close."""
+    from edgedict_tpu.models.decoding import greedy_decode_from_encoder
+
+    params = T.transducer_init(jax.random.PRNGKey(20), ECFG)
+    h_enc = jax.random.normal(jax.random.PRNGKey(21),
+                              (batch, t, ECFG.enc_proj_size))
+    monkeypatch.setenv('EDGEDICT_PALLAS_DECODE', '0')
+    y_ref, nlp_ref = greedy_decode_from_encoder(params, ECFG, h_enc)
+    monkeypatch.setenv('EDGEDICT_PALLAS_DECODE', 'force')
+    monkeypatch.setenv('EDGEDICT_DECODE_BLOCK', block)
+    y_out, nlp_out = greedy_decode_from_encoder(params, ECFG, h_enc)
+    np.testing.assert_array_equal(np.asarray(y_ref), np.asarray(y_out))
+    np.testing.assert_allclose(np.asarray(nlp_ref), np.asarray(nlp_out),
+                               rtol=1e-5, atol=1e-5)
+    assert y_out.shape == (batch, t)
+
+
+def test_offline_fused_bf16(monkeypatch):
+    """bf16 params + bf16 encoder output through the offline fused path."""
+    from edgedict_tpu.models.decoding import greedy_decode_from_encoder
+
+    params = jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
+        T.transducer_init(jax.random.PRNGKey(22), ECFG))
+    h_enc = jax.random.normal(jax.random.PRNGKey(23),
+                              (4, 9, ECFG.enc_proj_size)).astype(jnp.bfloat16)
+    monkeypatch.setenv('EDGEDICT_PALLAS_DECODE', '0')
+    y_ref, nlp_ref = greedy_decode_from_encoder(params, ECFG, h_enc)
+    monkeypatch.setenv('EDGEDICT_PALLAS_DECODE', 'force')
+    monkeypatch.setenv('EDGEDICT_DECODE_BLOCK', '4')
+    y_out, nlp_out = greedy_decode_from_encoder(params, ECFG, h_enc)
+    np.testing.assert_array_equal(np.asarray(y_ref), np.asarray(y_out))
+    np.testing.assert_allclose(np.asarray(nlp_ref, np.float32),
+                               np.asarray(nlp_out, np.float32),
+                               rtol=1e-2, atol=1e-2)
+
+
+def test_offline_fused_declines_mixed_dtype(monkeypatch):
+    """bf16 encoder output over f32 params promotes differently in the
+    scan — the fused route must decline rather than drift."""
+    from edgedict_tpu.ops import decode_pallas as dp
+
+    params = T.transducer_init(jax.random.PRNGKey(24), ECFG)
+    h_enc = jax.random.normal(jax.random.PRNGKey(25),
+                              (2, 3, ECFG.enc_proj_size)).astype(jnp.bfloat16)
+    monkeypatch.setenv('EDGEDICT_PALLAS_DECODE', 'force')
+    assert dp.maybe_greedy_decode(params, ECFG, h_enc) is None
+
+
+def test_offline_fused_under_jit(monkeypatch):
+    """The fused offline decode traces under jit (trainer-eval call shape)
+    and matches the scan."""
+    from edgedict_tpu.models.decoding import transducer_greedy_decode
+
+    params = T.transducer_init(jax.random.PRNGKey(26), ECFG)
+    xs = jax.random.normal(jax.random.PRNGKey(27), (2, 12, ECFG.input_size))
+    xlen = jnp.asarray([12, 8])
+    monkeypatch.setenv('EDGEDICT_PALLAS_DECODE', '0')
+    y_ref, len_ref, nlp_ref = jax.jit(
+        lambda p, x, l: transducer_greedy_decode(p, ECFG, x, l))(
+            params, xs, xlen)
+    monkeypatch.setenv('EDGEDICT_PALLAS_DECODE', 'force')
+    monkeypatch.setenv('EDGEDICT_DECODE_BLOCK', '4')
+    y_out, len_out, nlp_out = jax.jit(
+        lambda p, x, l: transducer_greedy_decode(p, ECFG, x, l))(
+            params, xs, xlen)
+    np.testing.assert_array_equal(np.asarray(y_ref), np.asarray(y_out))
+    np.testing.assert_array_equal(np.asarray(len_ref), np.asarray(len_out))
+    np.testing.assert_allclose(np.asarray(nlp_ref), np.asarray(nlp_out),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_multistream_fused_matches_scan(monkeypatch):
     """Server mode with a non-aligned stream count (pad path)."""
     from edgedict_tpu.stream import MultiStreamDecoder
