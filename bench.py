@@ -28,6 +28,9 @@ The `extra` field carries honest-accounting companions (VERDICT rounds 1-2):
     train_step_batch16_* keeps the round-1 B=16 pin for cross-round
     comparability (B=16 under-fills the 128-row MXU on the LSTM
     recurrence — see VALIDATION.md batch-scaling ladder).
+  * offline_decode_*: batched whole-utterance greedy decode (trainer eval /
+    cli.wav_inference protocol) — encoder over the full utterance, then the
+    fused Pallas frame-loop kernel walking T' in VMEM slabs; slope-timed.
   * server_256stream_*: server mode — 256 independent real-time streams
     batched into one dispatch per 75 ms chunk round, tokens fetched every
     round; aggregate sec-audio/sec and how many streams stay real-time.
@@ -229,6 +232,47 @@ def bench_server_mode(params, cfg, feature_cfg, n_streams=256, rounds=8):
     return agg, wall * 1e3, capacity, dev_round_ms, dev_capacity
 
 
+def bench_offline_decode(cfg, batch=16, utt_seconds=15.0):
+    """Offline batched greedy decode — the trainer-eval / cli.wav_inference
+    protocol (reference cli/openvino_wav_inference.py decodes utterances
+    whole): full encoder over the utterance, then the frame-synchronous
+    greedy loop (fused Pallas frame-loop kernel on TPU, T' walked in VMEM
+    slabs — ops/decode_pallas.py:maybe_greedy_decode).  Slope-timed on
+    device (serial TPU execution: fetching the last batch's tokens syncs
+    the whole chain).  Returns (ms per batch, sec-audio/sec)."""
+    import jax
+    import jax.numpy as jnp
+    from edgedict_tpu.models import transducer as T
+    from edgedict_tpu.models.decoding import transducer_greedy_decode
+
+    n_frames = int(utt_seconds * SAMPLE_RATE - 320) // 200 + 1
+    t_ds = n_frames // 3
+    t_ds -= t_ds % 4
+    dtype = _serving_dtype() or jnp.float32
+    params = jax.tree.map(
+        lambda x: x.astype(dtype) if x.dtype == jnp.float32 else x,
+        T.transducer_init(jax.random.PRNGKey(0), cfg))
+    rng = np.random.RandomState(3)
+    xs = jnp.asarray(rng.randn(batch, t_ds, cfg.input_size), dtype)
+    xlen = jnp.full((batch,), t_ds, jnp.int32)
+
+    fn = jax.jit(lambda p, x, l: transducer_greedy_decode(p, cfg, x, l))
+    y, _, _ = fn(params, xs, xlen)
+    np.asarray(y)                                   # compile + warmup
+
+    def run_n(n):
+        t0 = time.time()
+        for _ in range(n):
+            y, _, _ = fn(params, xs, xlen)
+        np.asarray(y)
+        return time.time() - t0
+
+    lo = min(run_n(2) for _ in range(3))
+    hi = min(run_n(8) for _ in range(3))
+    sec = (hi - lo) / 6
+    return sec * 1e3, batch * utt_seconds / sec
+
+
 def transducer_fwd_flops(cfg, B, T, U1):
     """Analytic forward matmul FLOPs (2·M·N·K per matmul)."""
     H = cfg.enc_hidden_size
@@ -360,6 +404,7 @@ def main():
         params, cfg, feature_cfg)
     server_tp, server_ms, server_cap, server_dev_ms, server_dev_cap = \
         bench_server_mode(params, cfg, feature_cfg)
+    offline_ms, offline_tp = bench_offline_decode(cfg)
     step_ms, mfu, hfu, train_tp = bench_train_step(cfg, batch=32)
     step16_ms, mfu16, hfu16, train16_tp = bench_train_step(cfg, batch=16)
 
@@ -385,6 +430,11 @@ def main():
             # tunnel fetch) and the capacity a local deployment sees
             'server_round_device_ms': round(server_dev_ms, 3),
             'server_device_capacity': server_dev_cap,
+            # offline batched greedy decode (trainer eval / wav_inference
+            # protocol: whole utterances, B=16 × 15 s, fused frame-loop
+            # kernel on TPU), slope-timed on device
+            'offline_decode_ms': round(offline_ms, 3),
+            'offline_decode_audio_s_per_s': round(offline_tp, 1),
             'train_step_ms': round(step_ms, 3),
             'train_step_mfu': round(mfu, 4),      # model FLOPs (no remat)
             'train_step_hfu': round(hfu, 4),      # + remat joint recompute
