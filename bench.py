@@ -407,6 +407,9 @@ def main():
     offline_ms, offline_tp = bench_offline_decode(cfg)
     step_ms, mfu, hfu, train_tp = bench_train_step(cfg, batch=32)
     step16_ms, mfu16, hfu16, train16_tp = bench_train_step(cfg, batch=16)
+    # batch-scaling lever (VALIDATION.md §3 roofline: recurrence rows):
+    # B=64 pins where the next structural win comes from
+    step64_ms, mfu64, hfu64, train64_tp = bench_train_step(cfg, batch=64)
 
     baseline = 5.797  # reference PyTorch streaming (README.md:123-127)
     print(json.dumps({
@@ -443,6 +446,10 @@ def main():
             'train_step_batch16_mfu': round(mfu16, 4),
             'train_step_batch16_hfu': round(hfu16, 4),
             'train_batch16_audio_s_per_s': round(train16_tp, 1),
+            'train_step_batch64_ms': round(step64_ms, 3),
+            'train_step_batch64_mfu': round(mfu64, 4),
+            'train_step_batch64_hfu': round(hfu64, 4),
+            'train_batch64_audio_s_per_s': round(train64_tp, 1),
             'dispatch_floor_ms': round(dispatch_floor_ms, 3),
             'device_kind': jax.devices()[0].device_kind,
         },
