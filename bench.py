@@ -387,6 +387,43 @@ def main():
     cfg, feature_cfg = _flagship()
     params = T.transducer_init(jax.random.PRNGKey(0), cfg)
 
+    # Phased, fault-isolated measurement: extras accumulate as each phase
+    # lands, the primary metric is captured by the first phase, and a
+    # total-deadline watchdog (BENCH_TOTAL_S) emits whatever has been
+    # measured if the tunnel hangs MID-run (the first-contact watchdog
+    # only covers device init — a later hang would otherwise stall the
+    # grading run forever, VALIDATION.md §3 tunnel caveats).  A phase
+    # that throws records <phase>_error and the rest still run.
+    baseline = 5.797  # reference PyTorch streaming (README.md:123-127)
+    extras = {}
+    primary = {'value': None}
+    emitted = threading.Event()
+
+    def emit(note=None):
+        if emitted.is_set():
+            return
+        emitted.set()
+        val = primary['value']
+        out = {
+            'metric': 'streaming_throughput',
+            'value': round(val, 3) if val is not None else 0.0,
+            'unit': 'sec_audio_per_sec',
+            'vs_baseline': round((val or 0.0) / baseline, 3),
+            'extra': extras,
+        }
+        if note:
+            out['error'] = note
+        print(json.dumps(out), flush=True)
+
+    def _total_watchdog():
+        total = float(os.environ.get('BENCH_TOTAL_S', 7200))
+        if not emitted.wait(total):
+            emit(note=f'bench exceeded {total:.0f}s (tunnel hang mid-run?); '
+                      'extras are the phases that completed')
+            os._exit(4)
+
+    threading.Thread(target=_total_watchdog, daemon=True).start()
+
     # dispatch floor: round-trip of a trivial jitted call — on the axon
     # tunnel this is ~25 ms and bounds any per-chunk latency from below
     import jax.numpy as jnp
@@ -397,27 +434,16 @@ def main():
     t0 = time.time()
     for _ in range(20):
         np.asarray(null(x))
-    dispatch_floor_ms = (time.time() - t0) / 20 * 1e3
+    extras['dispatch_floor_ms'] = round((time.time() - t0) / 20 * 1e3, 3)
+    extras['device_kind'] = jax.devices()[0].device_kind
 
-    block_tp = bench_streaming_block(params, cfg, feature_cfg)
-    chunk_tp, chunk_ms, chunk_dev_ms = bench_streaming_per_chunk(
-        params, cfg, feature_cfg)
-    server_tp, server_ms, server_cap, server_dev_ms, server_dev_cap = \
-        bench_server_mode(params, cfg, feature_cfg)
-    offline_ms, offline_tp = bench_offline_decode(cfg)
-    step_ms, mfu, hfu, train_tp = bench_train_step(cfg, batch=32)
-    step16_ms, mfu16, hfu16, train16_tp = bench_train_step(cfg, batch=16)
-    # batch-scaling lever (VALIDATION.md §3 roofline: recurrence rows):
-    # B=64 pins where the next structural win comes from
-    step64_ms, mfu64, hfu64, train64_tp = bench_train_step(cfg, batch=64)
+    def block_phase():
+        primary['value'] = bench_streaming_block(params, cfg, feature_cfg)
 
-    baseline = 5.797  # reference PyTorch streaming (README.md:123-127)
-    print(json.dumps({
-        'metric': 'streaming_throughput',
-        'value': round(block_tp, 3),
-        'unit': 'sec_audio_per_sec',
-        'vs_baseline': round(block_tp / baseline, 3),
-        'extra': {
+    def chunk_phase():
+        chunk_tp, chunk_ms, chunk_dev_ms = bench_streaming_per_chunk(
+            params, cfg, feature_cfg)
+        extras.update({
             'per_chunk_throughput': round(chunk_tp, 3),
             'per_chunk_latency_ms': round(chunk_ms, 3),
             'per_chunk_rtf': round(chunk_ms / 150.0, 4),
@@ -426,6 +452,12 @@ def main():
             # chunk, free of the tunnel's dispatch/fetch floor
             'per_chunk_device_ms': round(chunk_dev_ms, 3),
             'per_chunk_device_rtf': round(chunk_dev_ms / 150.0, 4),
+        })
+
+    def server_phase():
+        server_tp, server_ms, server_cap, server_dev_ms, server_dev_cap = \
+            bench_server_mode(params, cfg, feature_cfg)
+        extras.update({
             'server_256stream_throughput': round(server_tp, 1),
             'server_round_ms': round(server_ms, 3),
             'server_realtime_capacity': server_cap,
@@ -433,27 +465,45 @@ def main():
             # tunnel fetch) and the capacity a local deployment sees
             'server_round_device_ms': round(server_dev_ms, 3),
             'server_device_capacity': server_dev_cap,
-            # offline batched greedy decode (trainer eval / wav_inference
-            # protocol: whole utterances, B=16 × 15 s, fused frame-loop
-            # kernel on TPU), slope-timed on device
+        })
+
+    def offline_phase():
+        # offline batched greedy decode (trainer eval / wav_inference
+        # protocol: whole utterances, B=16 × 15 s, fused frame-loop
+        # kernel on TPU), slope-timed on device
+        offline_ms, offline_tp = bench_offline_decode(cfg)
+        extras.update({
             'offline_decode_ms': round(offline_ms, 3),
             'offline_decode_audio_s_per_s': round(offline_tp, 1),
-            'train_step_ms': round(step_ms, 3),
-            'train_step_mfu': round(mfu, 4),      # model FLOPs (no remat)
-            'train_step_hfu': round(hfu, 4),      # + remat joint recompute
-            'train_audio_s_per_s': round(train_tp, 1),
-            'train_step_batch16_ms': round(step16_ms, 3),
-            'train_step_batch16_mfu': round(mfu16, 4),
-            'train_step_batch16_hfu': round(hfu16, 4),
-            'train_batch16_audio_s_per_s': round(train16_tp, 1),
-            'train_step_batch64_ms': round(step64_ms, 3),
-            'train_step_batch64_mfu': round(mfu64, 4),
-            'train_step_batch64_hfu': round(hfu64, 4),
-            'train_batch64_audio_s_per_s': round(train64_tp, 1),
-            'dispatch_floor_ms': round(dispatch_floor_ms, 3),
-            'device_kind': jax.devices()[0].device_kind,
-        },
-    }))
+        })
+
+    def train_phase(batch, prefix):
+        step_ms, mfu, hfu, tp = bench_train_step(cfg, batch=batch)
+        extras.update({
+            f'{prefix}_ms': round(step_ms, 3),
+            f'{prefix}_mfu': round(mfu, 4),       # model FLOPs (no remat)
+            f'{prefix}_hfu': round(hfu, 4),       # + remat joint recompute
+            f'{prefix}_audio_s_per_s'.replace('_step', ''): round(tp, 1),
+        })
+
+    phases = [
+        ('streaming_block', block_phase),
+        ('per_chunk', chunk_phase),
+        ('server', server_phase),
+        ('offline_decode', offline_phase),
+        ('train_step', lambda: train_phase(32, 'train_step')),
+        ('train_step_batch16', lambda: train_phase(16, 'train_step_batch16')),
+        # batch-scaling lever (VALIDATION.md §3 roofline: recurrence
+        # rows): B=64 pins where the next structural win comes from
+        ('train_step_batch64', lambda: train_phase(64, 'train_step_batch64')),
+    ]
+    for name, fn in phases:
+        try:
+            fn()
+        except Exception as e:                          # noqa: BLE001
+            extras[f'{name}_error'] = repr(e)[:200]
+
+    emit()
 
 
 if __name__ == '__main__':
