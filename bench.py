@@ -404,6 +404,10 @@ def main():
             return
         emitted.set()
         val = primary['value']
+        if val is None and note is None:
+            # a zero primary must never read as a measurement
+            note = ('primary streaming_block phase did not complete: '
+                    + extras.get('streaming_block_error', 'unknown'))
         out = {
             'metric': 'streaming_throughput',
             'value': round(val, 3) if val is not None else 0.0,

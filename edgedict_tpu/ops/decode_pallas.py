@@ -92,11 +92,17 @@ def _shapes_ok(cfg):
 
 def _first_argmax(x):
     """(B, V) → (B, 1) int32 index of the FIRST maximum (jnp.argmax tie
-    semantics), as lane reductions (no 1-D iota: TPU needs >=2-D)."""
-    m = jnp.max(x, axis=1, keepdims=True)
+    semantics, including NaN-wins: a row containing NaN resolves to its
+    FIRST NaN — plain max gives NaN, x==m is false everywhere, and the
+    min-reduce would emit the out-of-range sentinel V otherwise), as lane
+    reductions (no 1-D iota: TPU needs >=2-D)."""
+    v = x.shape[1]
     col = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
-    idx = jnp.where(x == m, col, x.shape[1])
-    return jnp.min(idx, axis=1, keepdims=True)
+    nan = jnp.isnan(x)
+    m = jnp.max(x, axis=1, keepdims=True)
+    idx_max = jnp.min(jnp.where(x == m, col, v), axis=1, keepdims=True)
+    idx_nan = jnp.min(jnp.where(nan, col, v), axis=1, keepdims=True)
+    return jnp.where(jnp.any(nan, axis=1, keepdims=True), idx_nan, idx_max)
 
 
 def _kernel(f_ref, wdec_ref, bj_ref, wout_ref, bout_ref, tab_ref,
@@ -269,9 +275,8 @@ def _pad_t(x, k):
 def _pad_rows(x, pad, axis):
     if not pad:
         return x
-    shape = list(x.shape)
-    shape[axis] = pad
-    return jnp.concatenate([x, jnp.zeros(shape, x.dtype)], axis)
+    from edgedict_tpu.ops import rnn as rnn_ops
+    return rnn_ops._pad_rows(x, pad, axis)
 
 
 _TPU_PROBE = []     # memoized: does the kernel actually compile on TPU?
@@ -282,38 +287,67 @@ def _tpu_kernel_works():
     lowering can only be validated on a real TPU backend; if it rejects
     the kernel (this code is developed against interpret mode), every
     decoder silently keeps the exact-math scan fallback instead of dying
-    inside a jitted serving step."""
+    inside a jitted serving step.
+
+    The production entry points reach this at TRACE time (the routes are
+    called while the chunk/eval step is being jitted), so the probe must
+    not touch the ambient trace: simply invoking the kernel here would
+    stage it into the outer graph as dead code — never compiled, never
+    raising — and memoize a spurious ok=True.  Instead the probe is
+    COMPILE-ONLY: numpy constants (concrete under any trace) through an
+    independent `jax.jit(...).lower().compile()`, where Mosaic rejection
+    surfaces.  Both serving dtypes and both lowerings (whole-T streaming;
+    T-blocked + frame log-probs offline) are exercised."""
+    import numpy as np
+
     if _TPU_PROBE:
         return _TPU_PROBE[0]
-    try:
+
+    def probe(dtype):
+        z = lambda *s: np.zeros(s, dtype)
+        f32 = lambda *s: np.zeros(s, np.float32)
         cache = {
-            'w_dec_t': jnp.zeros((128, 128)),
-            'b_joint': jnp.zeros((1, 128)),
-            'w_out_t': jnp.zeros((128, 128)),
-            'b_out': jnp.zeros((1, 128)),
-            'table': jnp.zeros((128, 8)),
-            'layers': [{'w_ih_t': jnp.zeros((8, 512)),
-                        'w_hh_t': jnp.zeros((128, 512)),
-                        'bias': jnp.zeros((1, 512))}],
-            'w_proj_t': jnp.zeros((128, 128)),
-            'b_proj': jnp.zeros((1, 128)),
+            'w_dec_t': z(128, 128),
+            'b_joint': f32(1, 128),
+            'w_out_t': z(128, 128),
+            'b_out': f32(1, 128),
+            'table': z(128, 8),
+            'layers': [{'w_ih_t': z(8, 512),
+                        'w_hh_t': z(128, 512),
+                        'bias': f32(1, 512)}],
+            'w_proj_t': z(128, 128),
+            'b_proj': f32(1, 128),
         }
-        out = _call_kernel(cache, jnp.zeros((2, 8, 128)),
-                           jnp.zeros((8, 128)), jnp.zeros((1, 8, 128)),
-                           jnp.zeros((1, 8, 128)), 0, 3)
-        jax.block_until_ready(out)
-        # the offline decode additionally uses the T-blocked grid + frame
-        # log-probs — a separate Mosaic lowering; probe it too
-        out = _call_kernel(cache, jnp.zeros((3, 8, 128)),
-                           jnp.zeros((8, 128)), jnp.zeros((1, 8, 128)),
-                           jnp.zeros((1, 8, 128)), 0, None,
-                           emit_logp=True, block=2)
-        jax.block_until_ready(out)
+        jax.jit(lambda: _call_kernel(
+            cache, z(2, 8, 128), z(8, 128), z(1, 8, 128), z(1, 8, 128),
+            0, 3)).lower().compile()
+        jax.jit(lambda: _call_kernel(
+            cache, z(3, 8, 128), z(8, 128), z(1, 8, 128), z(1, 8, 128),
+            0, None, emit_logp=True, block=2)).lower().compile()
+
+    try:
+        probe(np.float32)
+        probe(jnp.bfloat16)
         ok = True
     except Exception:
         ok = False
     _TPU_PROBE.append(ok)
     return ok
+
+
+def _route_ok(cfg, mode):
+    """Gate conditions shared by the streaming and offline entry points:
+    env kill-switch, TPU-only unless forced, lane-aligned geometry, and
+    the one-time Mosaic compile probe."""
+    if mode == '0':
+        return False
+    if mode != 'force' and jax.default_backend() != 'tpu':
+        return False
+    if not _shapes_ok(cfg):
+        return False
+    if mode != 'force' and not _tpu_kernel_works():
+        return False
+    return True
 
 
 def maybe_greedy_frame_loop(params, cfg, state, enc_xs, unk_id):
@@ -326,13 +360,14 @@ def maybe_greedy_frame_loop(params, cfg, state, enc_xs, unk_id):
     from edgedict_tpu.ops import rnn as rnn_ops
 
     mode = _mode()
-    if mode == '0':
+    if '_decode' not in params or not _route_ok(cfg, mode):
         return None
-    if mode != 'force' and jax.default_backend() != 'tpu':
-        return None
-    if '_decode' not in params or not _shapes_ok(cfg):
-        return None
-    if mode != 'force' and not _tpu_kernel_works():
+    cache = params['_decode']
+    if enc_xs.dtype != jnp.asarray(cache['w_out_t']).dtype:
+        # f32-prepared params driven with bf16 activations: the scan casts
+        # each weight to the activation dtype per op, the kernel would
+        # multiply in the cached dtype — decline rather than drift (the
+        # offline route declines the same case)
         return None
 
     b = enc_xs.shape[0]
@@ -348,7 +383,6 @@ def maybe_greedy_frame_loop(params, cfg, state, enc_xs, unk_id):
         # shards transparently (same policy as ops/rnn.py)
         return None
 
-    cache = params['_decode']
     dtype = enc_xs.dtype
     # f for ALL frames in one MXU matmul — same contraction (and same
     # fp32 accumulation + cast) as joint_project's per-frame f
@@ -397,19 +431,13 @@ def maybe_greedy_decode(params, cfg, h_enc):
     from edgedict_tpu.ops import rnn as rnn_ops
 
     mode = _mode()
-    if mode == '0':
-        return None
-    if mode != 'force' and jax.default_backend() != 'tpu':
-        return None
-    if not _shapes_ok(cfg):
+    if not _route_ok(cfg, mode):
         return None
     ctx = rnn_ops.current_mesh()
     if ctx is not None and ctx != rnn_ops._SHARD_LOCAL \
             and rnn_ops.axis_size(ctx[0], ctx[1]) > 1:
         return None            # sharded eval keeps the scan (GSPMD splits it)
     if ctx is None and jax.device_count() > 1 and mode != 'force':
-        return None
-    if mode != 'force' and not _tpu_kernel_works():
         return None
 
     cache = params.get('_decode')

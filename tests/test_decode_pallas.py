@@ -223,6 +223,64 @@ def test_offline_fused_bf16(monkeypatch):
                                rtol=1e-2, atol=1e-2)
 
 
+def test_first_argmax_matches_jnp_argmax():
+    """Ties resolve to the first max; rows containing NaN resolve to the
+    FIRST NaN (jnp.argmax semantics) instead of the out-of-range sentinel."""
+    from edgedict_tpu.ops.decode_pallas import _first_argmax
+
+    x = np.zeros((4, 8), np.float32)
+    x[0] = [1, 3, 3, 0, 2, 3, 1, 0]                  # tie → first max
+    x[1] = [1, 2, np.nan, 0, np.nan, 9, 1, 0]        # NaN wins, first NaN
+    x[2] = [-np.inf] * 8                             # all equal → 0
+    x[3] = [0, 1, 2, 3, 4, 5, 6, 7]
+    got = np.asarray(_first_argmax(jnp.asarray(x)))[:, 0]
+    want = np.asarray(jnp.argmax(jnp.asarray(x), axis=1))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_streaming_declines_mixed_dtype(monkeypatch):
+    """f32-prepared params driven with bf16 encoder output: the streaming
+    route must decline (same policy as the offline route) — the kernel
+    would multiply in the cached f32 while the scan casts weights to bf16
+    per op."""
+    from edgedict_tpu.ops import decode_pallas as dp
+
+    params = prepare_inference_params(
+        T.transducer_init(jax.random.PRNGKey(30), ECFG))      # f32 cache
+    state = make_stream_state(params, ECFG, batch=2)
+    enc = jax.random.normal(jax.random.PRNGKey(31),
+                            (2, 4, ECFG.enc_proj_size)).astype(jnp.bfloat16)
+    monkeypatch.setenv('EDGEDICT_PALLAS_DECODE', 'force')
+    assert dp.maybe_greedy_frame_loop(params, ECFG, state, enc, UNK) is None
+
+
+def test_probe_runs_eagerly_under_tracing(monkeypatch):
+    """The Mosaic compile probe must actually execute (not be staged as
+    dead code) when first reached from inside a jit trace — otherwise a
+    kernel the backend rejects would memoize ok=True and the serving step
+    would die inside jit instead of falling back to the scan."""
+    from edgedict_tpu.ops import decode_pallas as dp
+
+    monkeypatch.setattr(dp, '_TPU_PROBE', [])
+    saw_tracer = []
+    orig = dp._call_kernel
+
+    def spy(cache, f, *a, **k):
+        saw_tracer.append(isinstance(f, jax.core.Tracer))
+        return orig(cache, f, *a, **k)
+
+    monkeypatch.setattr(dp, '_call_kernel', spy)
+
+    @jax.jit
+    def traced(x):
+        ok = dp._tpu_kernel_works()          # reached at trace time
+        return x + (1.0 if ok else 0.0)
+
+    traced(jnp.zeros(()))
+    assert saw_tracer and not any(saw_tracer)
+    assert dp._TPU_PROBE == [True]
+
+
 def test_offline_fused_declines_mixed_dtype(monkeypatch):
     """bf16 encoder output over f32 params promotes differently in the
     scan — the fused route must decline rather than drift."""
