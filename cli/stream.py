@@ -41,13 +41,15 @@ flags.DEFINE_integer('block_chunks', 1,
                      'N*75 ms extra latency; used by --path one-shot mode)')
 
 
-def build_stream_decoder(FLAGS):
+def load_inference_bundle(FLAGS):
+    """Tokenizer + configs + checkpoint params + compute dtype from flags —
+    shared by cli.stream and cli.serve.
+    Returns (params, cfg, feature_cfg, tokenizer, compute_dtype)."""
     import jax
     from edgedict_tpu.checkpoint import (
         checkpoint_path, latest_step, load_checkpoint)
     from edgedict_tpu.features import FeatureConfig
     from edgedict_tpu.models import transducer as T
-    from edgedict_tpu.stream import StreamingDecoder
     from edgedict_tpu.trainer import build_tokenizer
 
     tokenizer = build_tokenizer(FLAGS)
@@ -77,6 +79,14 @@ def build_stream_decoder(FLAGS):
         print('WARNING: no checkpoint found — using random weights')
     compute_dtype = resolve_infer_dtype(getattr(FLAGS, 'infer_dtype',
                                                 'auto'))
+    return params, cfg, feature_cfg, tokenizer, compute_dtype
+
+
+def build_stream_decoder(FLAGS):
+    from edgedict_tpu.stream import StreamingDecoder
+
+    params, cfg, feature_cfg, tokenizer, compute_dtype = \
+        load_inference_bundle(FLAGS)
     if getattr(FLAGS, 'beam_width', 1) > 1:
         from edgedict_tpu.stream import StreamingBeamDecoder
         return StreamingBeamDecoder(

@@ -1,0 +1,245 @@
+"""TCP serving frontend over the server-mode decoders.
+
+TPU-native production serving for the streaming stack: N concurrent PCM
+streams multiplex onto MultiStreamDecoder's batch axis — ONE device
+dispatch per chunk round for the whole fleet (stream.py:538) — behind a
+dependency-free asyncio TCP protocol.  No reference counterpart (the
+reference decoders are single-stream, mic/file-driven,
+/root/reference/stream.py:71-134); this is the deployment story for the
+server-mode engine (multi-chip included: hand the decoder a mesh and the
+stream axis shards over 'dp').
+
+Wire protocol (little-endian uint32 length prefix, both directions):
+
+  client → server   [len][float32 PCM bytes]  — any payload size, 16 kHz
+                    mono; len==0 marks end-of-stream.
+  server → client   [len][UTF-8 text delta]   — new text decoded for this
+                    stream; len==0 is the final flush (the connection
+                    closes after it).  A client connecting while every
+                    slot is busy receives "[busy]" then the flush.
+
+Round semantics: audio is consumed in win_size windows advancing
+hop_size — identical slicing to StreamingDecoder.decode_wav, so each
+stream's concatenated deltas equal the single-stream decoder's text for
+the same audio (streams are independent on the batch axis).  A chunk
+round dispatches when EVERY attached stream has a full window buffered
+(lockstep — deterministic, the default), or, with `round_timeout` set,
+when the timeout elapses with at least one ready stream; streams that
+missed a timed round are fed silence for that window — what a real-time
+server does about late packets (the transcript reflects the gap, the
+carried state stays valid).
+"""
+
+import asyncio
+import struct
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+
+
+async def _send(writer, payload: bytes):
+    writer.write(struct.pack('<I', len(payload)) + payload)
+    await writer.drain()
+
+
+async def _recv(reader):
+    """One length-prefixed payload, or None on disconnect."""
+    try:
+        (ln,) = struct.unpack('<I', await reader.readexactly(4))
+        return await reader.readexactly(ln) if ln else b''
+    except (asyncio.IncompleteReadError, ConnectionError):
+        return None
+
+
+class StreamServer:
+    """Serve a MultiStreamDecoder (or MultiStreamBeamDecoder with
+    greedy-style incremental text disabled — see cli/serve.py) over TCP.
+
+    Slot lifecycle: connect → lowest free slot (the decoder's per-stream
+    state was reset when the slot was freed); end-of-stream or disconnect
+    → remaining full windows decode, the flush payload is sent,
+    reset_stream(slot) frees it for the next client.
+    """
+
+    def __init__(self, decoder, host='127.0.0.1', port=0,
+                 round_timeout=None):
+        self.dec = decoder
+        self.host, self.port = host, port
+        self.round_timeout = round_timeout
+        n = decoder.n
+        self._buf = [np.zeros(0, np.float32) for _ in range(n)]
+        self._writer = [None] * n
+        self._eof = [False] * n
+        self._done = [None] * n
+        self._cond = None
+        self._server = None
+        self._round_task = None
+        # ONE thread owns every device dispatch (decode + per-slot reset):
+        # serializes state mutation and keeps the event loop free
+        self._exec = ThreadPoolExecutor(max_workers=1)
+        self.rounds = 0
+
+    # -- lifecycle ---------------------------------------------------------
+
+    async def start(self):
+        self._cond = asyncio.Condition()
+        self._server = await asyncio.start_server(
+            self._client, self.host, self.port)
+        self.port = self._server.sockets[0].getsockname()[1]
+        self._round_task = asyncio.get_running_loop().create_task(
+            self._round_loop())
+
+    async def stop(self):
+        self._round_task.cancel()
+        try:
+            await self._round_task
+        except asyncio.CancelledError:
+            pass
+        self._server.close()
+        try:
+            # 3.12's wait_closed can block past the last handler (it also
+            # waits on the serve_forever future, which plain start() never
+            # creates) — bound it; the listener is already closed
+            await asyncio.wait_for(self._server.wait_closed(), 5)
+        except asyncio.TimeoutError:
+            pass
+        self._exec.shutdown(wait=True)
+
+    async def serve_forever(self):
+        await self.start()
+        async with self._server:
+            await self._server.serve_forever()
+
+    # -- per-connection reader --------------------------------------------
+
+    async def _client(self, reader, writer):
+        async with self._cond:
+            slot = next((i for i in range(self.dec.n)
+                         if self._writer[i] is None), None)
+            if slot is not None:
+                self._writer[slot] = writer
+                self._eof[slot] = False
+                self._buf[slot] = np.zeros(0, np.float32)
+                self._done[slot] = asyncio.Event()
+        if slot is None:
+            try:
+                await _send(writer, b'[busy]')
+                await _send(writer, b'')
+            except ConnectionError:
+                pass
+            writer.close()
+            return
+        while True:
+            payload = await _recv(reader)
+            if not payload:                     # EOF marker or disconnect
+                break
+            pcm = np.frombuffer(payload, np.float32)
+            async with self._cond:
+                self._buf[slot] = np.concatenate([self._buf[slot], pcm])
+                self._cond.notify_all()
+        async with self._cond:
+            self._eof[slot] = True
+            self._cond.notify_all()
+        await self._done[slot].wait()           # round loop flushed slot
+        writer.close()
+
+    # -- chunk rounds ------------------------------------------------------
+
+    async def _round_loop(self):
+        win, hop = self.dec.win_size, self.dec.hop_size
+        loop = asyncio.get_running_loop()
+        while True:
+            async with self._cond:
+                fed = None
+                while fed is None:
+                    await self._finalize_drained()
+                    attached = [i for i in range(self.dec.n)
+                                if self._writer[i] is not None]
+                    ready = [i for i in attached
+                             if len(self._buf[i]) >= win]
+                    if ready and len(ready) == len(attached):
+                        fed = ready                      # lockstep round
+                    elif ready and self.round_timeout is not None:
+                        # wait for stragglers up to the timeout, then go
+                        try:
+                            await asyncio.wait_for(
+                                self._cond.wait(), self.round_timeout)
+                        except asyncio.TimeoutError:
+                            await self._finalize_drained()
+                            fed = [i for i in range(self.dec.n)
+                                   if self._writer[i] is not None
+                                   and len(self._buf[i]) >= win]
+                            if not fed:
+                                fed = None
+                    else:
+                        await self._cond.wait()
+                frames = np.zeros((self.dec.n, win), np.float32)
+                for i in fed:
+                    frames[i] = self._buf[i][:win]
+                    self._buf[i] = self._buf[i][hop:]
+            texts = await loop.run_in_executor(
+                self._exec, self.dec.decode, frames)
+            self.rounds += 1
+            for i in fed:
+                w = self._writer[i]
+                if w is not None and texts[i]:
+                    try:
+                        await _send(w, texts[i].encode())
+                    except ConnectionError:
+                        pass
+            async with self._cond:
+                await self._finalize_drained()
+
+    async def _finalize_drained(self):
+        """Flush + free every eof'd slot with no full window left.
+        Caller holds self._cond."""
+        win = self.dec.win_size
+        loop = asyncio.get_running_loop()
+        for i in range(self.dec.n):
+            if (self._writer[i] is not None and self._eof[i]
+                    and len(self._buf[i]) < win):
+                try:
+                    await _send(self._writer[i], b'')
+                except ConnectionError:
+                    pass
+                self._writer[i] = None
+                await loop.run_in_executor(
+                    self._exec, self.dec.reset_stream, i)
+                self._done[i].set()
+
+
+def stream_client(host, port, audio, chunk_samples=4096):
+    """Blocking reference client: stream float32 PCM in `chunk_samples`
+    pieces, send end-of-stream, collect text until the flush payload.
+    Returns the concatenated transcript ('[busy]' when rejected)."""
+    import socket
+
+    audio = np.asarray(audio, np.float32)
+    with socket.create_connection((host, port)) as sock:
+        for off in range(0, len(audio), chunk_samples):
+            piece = audio[off:off + chunk_samples].tobytes()
+            sock.sendall(struct.pack('<I', len(piece)) + piece)
+        sock.sendall(struct.pack('<I', 0))
+        return _drain_text(sock)
+
+
+def _drain_text(sock):
+    parts = []
+    buf = b''
+    while True:
+        while len(buf) < 4:
+            data = sock.recv(65536)
+            if not data:
+                return ''.join(parts)
+            buf += data
+        (ln,) = struct.unpack('<I', buf[:4])
+        buf = buf[4:]
+        while len(buf) < ln:
+            data = sock.recv(65536)
+            if not data:
+                return ''.join(parts)
+            buf += data
+        if ln == 0:
+            return ''.join(parts)
+        parts.append(buf[:ln].decode())
+        buf = buf[ln:]

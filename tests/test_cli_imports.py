@@ -15,7 +15,7 @@ CLI_MODULES = [
     'cli.baseline', 'cli.train', 'cli.distributed', 'cli.lightning',
     'cli.pretrain_wav2vec', 'cli.train_lm', 'cli.stream',
     'cli.youtube_live', 'cli.export', 'cli.demo', 'cli.wav_inference',
-    'cli.import_checkpoint', 'cli.wer_parity',
+    'cli.import_checkpoint', 'cli.wer_parity', 'cli.serve',
 ]
 
 

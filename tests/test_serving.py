@@ -1,0 +1,163 @@
+"""TCP serving frontend (edgedict_tpu/serving.py) over loopback.
+
+Streams are independent on the server-mode batch axis, so each client's
+concatenated deltas must equal the single-stream StreamingDecoder's text
+for the same audio (that cross-engine equality is itself pinned by
+tests/test_stream.py's multistream cases)."""
+
+import asyncio
+import socket
+import struct
+import threading
+
+import numpy as np
+import pytest
+
+import jax
+
+from edgedict_tpu.features import FeatureConfig
+from edgedict_tpu.models import transducer as T
+from edgedict_tpu.serving import StreamServer, stream_client
+from edgedict_tpu.stream import MultiStreamDecoder, StreamingDecoder
+
+CFG = T.TransducerConfig(
+    vocab_size=32, vocab_embed_size=8, input_size=9,
+    enc_hidden_size=16, enc_layers=1, enc_proj_size=16,
+    dec_hidden_size=16, dec_layers=1, dec_proj_size=16,
+    joint_size=16, enc_time_reductions=())
+
+FEAT = FeatureConfig(
+    feature_type='logfbank', feature_size=3, n_fft=64, win_length=40,
+    hop_length=20, downsample=3, pad_to_divisible=False)
+
+
+class _Tok:
+    unk_id = 3
+
+    def id_to_token(self, i):
+        return chr(ord('a') + i % 26) + '</w>'
+
+
+def _params():
+    params = T.transducer_init(jax.random.PRNGKey(0), CFG)
+    # push the blank column down so random audio decodes nonempty text
+    params['joint']['out']['b'] = \
+        params['joint']['out']['b'].at[int(CFG.blank)].add(-2.0)
+    return params
+
+
+def _audio(seed, n=1600):
+    return (np.random.RandomState(seed).randn(n) * 0.3).astype(np.float32)
+
+
+def _offline_text(params, audio):
+    dec = StreamingDecoder(params, CFG, FEAT, _Tok(), step_n_frame=2)
+    return dec.decode_wav(audio)
+
+
+class _ServerThread:
+    """Run the asyncio server on a background thread; expose host/port."""
+
+    def __init__(self, n_streams, round_timeout=None):
+        dec = MultiStreamDecoder(_params(), CFG, FEAT, _Tok(),
+                                 n_streams=n_streams, step_n_frame=2)
+        self.server = StreamServer(dec, round_timeout=round_timeout)
+        self._loop = None
+        started = threading.Event()
+
+        def run():
+            self._loop = asyncio.new_event_loop()
+            asyncio.set_event_loop(self._loop)
+            self._loop.run_until_complete(self.server.start())
+            started.set()
+            self._loop.run_forever()
+
+        self._thread = threading.Thread(target=run, daemon=True)
+        self._thread.start()
+        assert started.wait(60)
+
+    @property
+    def addr(self):
+        return self.server.host, self.server.port
+
+    def stop(self):
+        asyncio.run_coroutine_threadsafe(
+            self.server.stop(), self._loop).result(60)
+        self._loop.call_soon_threadsafe(self._loop.stop)
+        self._thread.join(30)
+
+
+def test_single_client_matches_offline():
+    srv = _ServerThread(n_streams=2)
+    try:
+        audio = _audio(0)
+        want = _offline_text(_params(), audio)
+        got = stream_client(*srv.addr, audio, chunk_samples=500)
+        assert got == want and want
+    finally:
+        srv.stop()
+
+
+def test_concurrent_clients_each_match_offline():
+    srv = _ServerThread(n_streams=3)
+    try:
+        audios = [_audio(1), _audio(2)]
+        wants = [_offline_text(_params(), a) for a in audios]
+        gots = [None, None]
+
+        def run(i):
+            gots[i] = stream_client(*srv.addr, audios[i], chunk_samples=300)
+
+        threads = [threading.Thread(target=run, args=(i,)) for i in (0, 1)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(120)
+        assert gots == wants
+        assert srv.server.rounds >= 13     # 13 windows per stream
+    finally:
+        srv.stop()
+
+
+def test_busy_rejection_and_slot_reuse():
+    srv = _ServerThread(n_streams=1)
+    try:
+        host, port = srv.addr
+        # hold the only slot open (no end-of-stream yet)
+        hold = socket.create_connection((host, port))
+        piece = _audio(3, 200).tobytes()
+        hold.sendall(struct.pack('<I', len(piece)) + piece)
+        # second client is rejected
+        assert stream_client(host, port, _audio(4)) == '[busy]'
+        # release the slot
+        hold.sendall(struct.pack('<I', 0))
+        from edgedict_tpu.serving import _drain_text
+        _drain_text(hold)
+        hold.close()
+        # the freed slot serves a fresh client with RESET state: text
+        # equals the offline decode of only ITS audio
+        audio = _audio(5)
+        assert stream_client(host, port, audio) == \
+            _offline_text(_params(), audio)
+    finally:
+        srv.stop()
+
+
+def test_timed_round_feeds_silence_for_late_stream():
+    """round_timeout mode: a ready stream is not held hostage by an
+    attached-but-silent one."""
+    srv = _ServerThread(n_streams=2, round_timeout=0.1)
+    try:
+        host, port = srv.addr
+        # attach a stream that never sends audio
+        idle = socket.create_connection((host, port))
+        audio = _audio(6)
+        got = stream_client(host, port, audio, chunk_samples=400)
+        # the active client still decodes (its windows were consumed in
+        # timed rounds); the idle stream heard silence — no crash, and
+        # the active transcript equals the offline decode
+        assert got == _offline_text(_params(), audio)
+        idle.sendall(struct.pack('<I', 0))
+        idle.close()
+    finally:
+        srv.stop()
