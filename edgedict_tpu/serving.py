@@ -52,8 +52,10 @@ async def _recv(reader):
 
 
 class StreamServer:
-    """Serve a MultiStreamDecoder (or MultiStreamBeamDecoder with
-    greedy-style incremental text disabled — see cli/serve.py) over TCP.
+    """Serve a MultiStreamDecoder over TCP.  (Greedy server mode only:
+    beam search returns the full current hypothesis each round, which may
+    REVISE earlier output — that doesn't fit this append-only delta
+    protocol; use MultiStreamBeamDecoder in-process for beam serving.)
 
     Slot lifecycle: connect → lowest free slot (the decoder's per-stream
     state was reset when the slot was freed); end-of-stream or disconnect
