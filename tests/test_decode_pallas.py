@@ -316,6 +316,43 @@ def test_offline_fused_under_jit(monkeypatch):
                                rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.parametrize('seed', range(3))
+def test_fuzz_random_geometry_matches_scan(monkeypatch, seed):
+    """Randomized lane-aligned geometry (layer count, batch, T, vocab,
+    joint width, decode block): offline AND streaming fused paths equal
+    the scan."""
+    from edgedict_tpu.models.decoding import greedy_decode_from_encoder
+
+    rng = np.random.RandomState(seed)
+    cfg = T.TransducerConfig(
+        vocab_size=128 * rng.randint(1, 3),
+        vocab_embed_size=8 * rng.randint(1, 4), input_size=9,
+        enc_hidden_size=16, enc_layers=1,
+        enc_proj_size=8 * rng.randint(1, 5),
+        dec_hidden_size=128, dec_layers=rng.randint(1, 4),
+        dec_proj_size=128, joint_size=128 * rng.randint(1, 3),
+        enc_time_reductions=())
+    batch, t = rng.randint(1, 10), rng.randint(1, 20)
+    params = T.transducer_init(jax.random.PRNGKey(seed), cfg)
+    h_enc = jax.random.normal(jax.random.PRNGKey(seed + 100),
+                              (batch, t, cfg.enc_proj_size))
+
+    monkeypatch.setenv('EDGEDICT_PALLAS_DECODE', '0')
+    y_ref, nlp_ref = greedy_decode_from_encoder(params, cfg, h_enc)
+    monkeypatch.setenv('EDGEDICT_PALLAS_DECODE', 'force')
+    monkeypatch.setenv('EDGEDICT_DECODE_BLOCK', str(rng.randint(1, 8)))
+    y_out, nlp_out = greedy_decode_from_encoder(params, cfg, h_enc)
+    np.testing.assert_array_equal(np.asarray(y_ref), np.asarray(y_out))
+    np.testing.assert_allclose(np.asarray(nlp_ref), np.asarray(nlp_out),
+                               rtol=1e-5, atol=1e-5)
+
+    p2 = prepare_inference_params(params)
+    state = make_stream_state(p2, cfg, batch=batch)
+    ref, out = _run_both(monkeypatch, p2, cfg, state, h_enc,
+                         rng.randint(4, cfg.vocab_size))
+    _assert_match(ref, out)
+
+
 def test_multistream_fused_matches_scan(monkeypatch):
     """Server mode with a non-aligned stream count (pad path)."""
     from edgedict_tpu.stream import MultiStreamDecoder
