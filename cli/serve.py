@@ -17,6 +17,9 @@ client is `edgedict_tpu.serving.stream_client`, e.g.
 
 --serve_dp_size > 1 shards the stream axis over a 'dp' mesh
 (multi-chip serving scale-out; n_streams must divide by it).
+--beam_width W (from cli.stream's registry) switches every slot to
+server-mode beam search: rounds send '=' replace messages carrying the
+stream's current best hypothesis instead of '+' append deltas.
 """
 
 from absl import app, flags
@@ -42,7 +45,7 @@ flags.DEFINE_integer('serve_dp_size', 0,
 
 def build_server(FLAGS):
     from edgedict_tpu.serving import StreamServer
-    from edgedict_tpu.stream import MultiStreamDecoder
+    from edgedict_tpu.stream import MultiStreamBeamDecoder, MultiStreamDecoder
 
     params, cfg, feature_cfg, tokenizer, compute_dtype = \
         load_inference_bundle(FLAGS)
@@ -52,14 +55,26 @@ def build_server(FLAGS):
         from jax.sharding import Mesh
         import numpy as np
         mesh = Mesh(np.array(jax.devices()[:FLAGS.serve_dp_size]), ('dp',))
-    dec = MultiStreamDecoder(
-        params, cfg, feature_cfg, tokenizer,
-        n_streams=FLAGS.n_streams, step_n_frame=FLAGS.step_n_frame,
-        mesh=mesh, compute_dtype=compute_dtype)
+    beam = getattr(FLAGS, 'beam_width', 1) > 1
+    if beam:
+        # beam serving: each round replaces the client's transcript with
+        # the stream's current best hypothesis ('=' messages)
+        dec = MultiStreamBeamDecoder(
+            params, cfg, feature_cfg, tokenizer,
+            n_streams=FLAGS.n_streams, step_n_frame=FLAGS.step_n_frame,
+            beam_width=FLAGS.beam_width,
+            max_sym_per_frame=getattr(FLAGS, 'max_sym_per_frame', 3),
+            merge_prefixes=getattr(FLAGS, 'merge_prefixes', True),
+            mesh=mesh, compute_dtype=compute_dtype)
+    else:
+        dec = MultiStreamDecoder(
+            params, cfg, feature_cfg, tokenizer,
+            n_streams=FLAGS.n_streams, step_n_frame=FLAGS.step_n_frame,
+            mesh=mesh, compute_dtype=compute_dtype)
     timeout = (FLAGS.round_timeout_ms / 1e3
                if FLAGS.round_timeout_ms > 0 else None)
     return StreamServer(dec, host=FLAGS.serve_host, port=FLAGS.port,
-                        round_timeout=timeout)
+                        round_timeout=timeout, full_hypothesis=beam)
 
 
 def main(argv):

@@ -13,10 +13,13 @@ Wire protocol (little-endian uint32 length prefix, both directions):
 
   client → server   [len][float32 PCM bytes]  — any payload size, 16 kHz
                     mono; len==0 marks end-of-stream.
-  server → client   [len][UTF-8 text delta]   — new text decoded for this
-                    stream; len==0 is the final flush (the connection
+  server → client   [len][type byte + UTF-8 text] — type b'+' appends the
+                    text to the transcript (greedy mode emits deltas);
+                    type b'=' REPLACES the whole transcript (beam mode:
+                    the current best hypothesis may revise earlier
+                    output).  len==0 is the final flush (the connection
                     closes after it).  A client connecting while every
-                    slot is busy receives "[busy]" then the flush.
+                    slot is busy receives "+[busy]" then the flush.
 
 Round semantics: audio is consumed in win_size windows advancing
 hop_size — identical slicing to StreamingDecoder.decode_wav, so each
@@ -52,10 +55,10 @@ async def _recv(reader):
 
 
 class StreamServer:
-    """Serve a MultiStreamDecoder over TCP.  (Greedy server mode only:
-    beam search returns the full current hypothesis each round, which may
-    REVISE earlier output — that doesn't fit this append-only delta
-    protocol; use MultiStreamBeamDecoder in-process for beam serving.)
+    """Serve a MultiStreamDecoder (greedy: append deltas) or a
+    MultiStreamBeamDecoder (`full_hypothesis=True`: the round's current
+    best hypothesis replaces the transcript — beam search may revise
+    earlier output) over TCP.
 
     Slot lifecycle: connect → lowest free slot (the decoder's per-stream
     state was reset when the slot was freed); end-of-stream or disconnect
@@ -64,15 +67,17 @@ class StreamServer:
     """
 
     def __init__(self, decoder, host='127.0.0.1', port=0,
-                 round_timeout=None):
+                 round_timeout=None, full_hypothesis=False):
         self.dec = decoder
         self.host, self.port = host, port
         self.round_timeout = round_timeout
+        self.full_hypothesis = full_hypothesis
         n = decoder.n
         self._buf = [np.zeros(0, np.float32) for _ in range(n)]
         self._writer = [None] * n
         self._eof = [False] * n
         self._done = [None] * n
+        self._last = [''] * n
         self._cond = None
         self._server = None
         self._round_task = None
@@ -123,14 +128,23 @@ class StreamServer:
                 self._eof[slot] = False
                 self._buf[slot] = np.zeros(0, np.float32)
                 self._done[slot] = asyncio.Event()
+                self._last[slot] = ''
         if slot is None:
             try:
-                await _send(writer, b'[busy]')
+                await _send(writer, b'+[busy]')
                 await _send(writer, b'')
             except ConnectionError:
                 pass
             writer.close()
             return
+        # fresh per-stream state AT ATTACH: every chunk round advances all
+        # N decoder rows, so a freed slot has been hearing silence since
+        # its last client — and the reset must land (same single-thread
+        # executor as decode → ordered) before this client's first window
+        # can reach a round, which it does because audio is only read
+        # after this await
+        await asyncio.get_running_loop().run_in_executor(
+            self._exec, self.dec.reset_stream, slot)
         while True:
             payload = await _recv(reader)
             if not payload:                     # EOF marker or disconnect
@@ -182,21 +196,33 @@ class StreamServer:
             texts = await loop.run_in_executor(
                 self._exec, self.dec.decode, frames)
             self.rounds += 1
-            for i in fed:
+            # every ATTACHED stream may have progressed — in a timed round
+            # the non-fed ones consumed a silence window (their text is
+            # still theirs to hear)
+            for i in range(self.dec.n):
                 w = self._writer[i]
-                if w is not None and texts[i]:
-                    try:
-                        await _send(w, texts[i].encode())
-                    except ConnectionError:
-                        pass
+                if w is None:
+                    continue
+                if self.full_hypothesis:
+                    if texts[i] == self._last[i]:
+                        continue
+                    self._last[i] = texts[i]
+                    msg = b'=' + texts[i].encode()
+                elif texts[i]:
+                    msg = b'+' + texts[i].encode()
+                else:
+                    continue
+                try:
+                    await _send(w, msg)
+                except ConnectionError:
+                    pass
             async with self._cond:
                 await self._finalize_drained()
 
     async def _finalize_drained(self):
-        """Flush + free every eof'd slot with no full window left.
-        Caller holds self._cond."""
+        """Flush + free every eof'd slot with no full window left (state
+        reset happens at the next attach).  Caller holds self._cond."""
         win = self.dec.win_size
-        loop = asyncio.get_running_loop()
         for i in range(self.dec.n):
             if (self._writer[i] is not None and self._eof[i]
                     and len(self._buf[i]) < win):
@@ -205,15 +231,14 @@ class StreamServer:
                 except ConnectionError:
                     pass
                 self._writer[i] = None
-                await loop.run_in_executor(
-                    self._exec, self.dec.reset_stream, i)
                 self._done[i].set()
 
 
 def stream_client(host, port, audio, chunk_samples=4096):
     """Blocking reference client: stream float32 PCM in `chunk_samples`
-    pieces, send end-of-stream, collect text until the flush payload.
-    Returns the concatenated transcript ('[busy]' when rejected)."""
+    pieces, send end-of-stream, apply text messages ('+' append,
+    '=' replace) until the flush payload.  Returns the final transcript
+    ('[busy]' when rejected)."""
     import socket
 
     audio = np.asarray(audio, np.float32)
@@ -226,22 +251,23 @@ def stream_client(host, port, audio, chunk_samples=4096):
 
 
 def _drain_text(sock):
-    parts = []
+    text = ''
     buf = b''
     while True:
         while len(buf) < 4:
             data = sock.recv(65536)
             if not data:
-                return ''.join(parts)
+                return text
             buf += data
         (ln,) = struct.unpack('<I', buf[:4])
         buf = buf[4:]
         while len(buf) < ln:
             data = sock.recv(65536)
             if not data:
-                return ''.join(parts)
+                return text
             buf += data
         if ln == 0:
-            return ''.join(parts)
-        parts.append(buf[:ln].decode())
+            return text
+        kind, payload = buf[:1], buf[1:ln].decode()
         buf = buf[ln:]
+        text = text + payload if kind == b'+' else payload

@@ -58,10 +58,13 @@ def _offline_text(params, audio):
 class _ServerThread:
     """Run the asyncio server on a background thread; expose host/port."""
 
-    def __init__(self, n_streams, round_timeout=None):
-        dec = MultiStreamDecoder(_params(), CFG, FEAT, _Tok(),
-                                 n_streams=n_streams, step_n_frame=2)
-        self.server = StreamServer(dec, round_timeout=round_timeout)
+    def __init__(self, n_streams=None, round_timeout=None, decoder=None,
+                 **server_kw):
+        dec = decoder if decoder is not None else MultiStreamDecoder(
+            _params(), CFG, FEAT, _Tok(), n_streams=n_streams,
+            step_n_frame=2)
+        self.server = StreamServer(dec, round_timeout=round_timeout,
+                                   **server_kw)
         self._loop = None
         started = threading.Event()
 
@@ -139,6 +142,56 @@ def test_busy_rejection_and_slot_reuse():
         audio = _audio(5)
         assert stream_client(host, port, audio) == \
             _offline_text(_params(), audio)
+    finally:
+        srv.stop()
+
+
+def test_beam_serving_replaces_hypothesis():
+    """Beam server mode ('=' replace messages): the client's final
+    transcript equals a direct lockstep drive of MultiStreamBeamDecoder
+    on the same windows."""
+    from edgedict_tpu.stream import MultiStreamBeamDecoder
+
+    params = _params()
+    audio = _audio(7)
+
+    def beam_dec():
+        return MultiStreamBeamDecoder(params, CFG, FEAT, _Tok(),
+                                      n_streams=2, step_n_frame=2,
+                                      beam_width=3)
+
+    direct = beam_dec()
+    win, hop = direct.win_size, direct.hop_size
+    final = ''
+    for j in range((len(audio) - win) // hop + 1):
+        frames = np.zeros((2, win), np.float32)
+        frames[0] = audio[j * hop:j * hop + win]
+        final = direct.decode(frames)[0]
+
+    srv = _ServerThread(decoder=beam_dec(), full_hypothesis=True)
+    try:
+        got = stream_client(*srv.addr, audio, chunk_samples=400)
+        assert got == final and final
+    finally:
+        srv.stop()
+
+
+def test_slot_state_is_fresh_after_idle_rounds():
+    """A freed slot keeps hearing silence while other streams drive
+    rounds; the NEXT client on that slot must still get exactly its own
+    transcript (reset happens at attach)."""
+    srv = _ServerThread(n_streams=2)
+    try:
+        host, port = srv.addr
+        a, b = _audio(8), _audio(9)
+        # client 1 occupies slot 0, finishes; slot 0 then idles while
+        # client 2 (slot 1) drives many rounds
+        assert stream_client(host, port, a) == _offline_text(_params(), a)
+        assert stream_client(host, port, b) == _offline_text(_params(), b)
+        # now a fresh client re-attaches to slot 0 after it sat through
+        # the previous client's rounds as silence
+        c = _audio(10)
+        assert stream_client(host, port, c) == _offline_text(_params(), c)
     finally:
         srv.stop()
 
