@@ -28,8 +28,8 @@ The `extra` field carries honest-accounting companions (VERDICT rounds 1-2):
     train_step_batch16_* keeps the round-1 B=16 pin for cross-round
     comparability (B=16 under-fills the 128-row MXU on the LSTM
     recurrence — see VALIDATION.md batch-scaling ladder).
-  * offline_decode_*: batched whole-utterance greedy decode (trainer eval /
-    cli.wav_inference protocol) — encoder over the full utterance, then the
+  * offline_decode_*: batched whole-utterance greedy decode (the trainer
+    eval / cli.wer_parity path) — encoder over the full utterance, then the
     fused Pallas frame-loop kernel walking T' in VMEM slabs; slope-timed.
   * server_256stream_*: server mode — 256 independent real-time streams
     batched into one dispatch per 75 ms chunk round, tokens fetched every
@@ -233,9 +233,9 @@ def bench_server_mode(params, cfg, feature_cfg, n_streams=256, rounds=8):
 
 
 def bench_offline_decode(cfg, batch=16, utt_seconds=15.0):
-    """Offline batched greedy decode — the trainer-eval / cli.wav_inference
-    protocol (reference cli/openvino_wav_inference.py decodes utterances
-    whole): full encoder over the utterance, then the frame-synchronous
+    """Offline batched greedy decode — the trainer-eval / cli.wer_parity
+    path (role of the reference cli/openvino_wav_inference.py, which
+    decodes utterances whole): full encoder over the utterance, then the frame-synchronous
     greedy loop (fused Pallas frame-loop kernel on TPU, T' walked in VMEM
     slabs — ops/decode_pallas.py:maybe_greedy_decode).  Slope-timed on
     device (serial TPU execution: fetching the last batch's tokens syncs
@@ -472,9 +472,9 @@ def main():
         })
 
     def offline_phase():
-        # offline batched greedy decode (trainer eval / wav_inference
-        # protocol: whole utterances, B=16 × 15 s, fused frame-loop
-        # kernel on TPU), slope-timed on device
+        # offline batched greedy decode (trainer eval / wer_parity path:
+        # whole utterances, B=16 × 15 s, fused frame-loop kernel on
+        # TPU), slope-timed on device
         offline_ms, offline_tp = bench_offline_decode(cfg)
         extras.update({
             'offline_decode_ms': round(offline_ms, 3),

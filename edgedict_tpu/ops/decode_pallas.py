@@ -425,8 +425,8 @@ def maybe_greedy_decode(params, cfg, h_enc):
     log-softmax max per frame, no <unk> suppression) through the fused
     kernel, T walked in VMEM-sized slabs: h_enc (B, T', E) →
     (y_seq (B, T') int32, neg_logp (B,) f32) — or None when the kernel
-    does not apply.  Used by trainer eval / cli.wer_parity /
-    cli.wav_inference, where T' is unbounded."""
+    does not apply.  Used by trainer eval and cli.wer_parity (batched
+    whole-utterance decode), where T' is unbounded."""
     from edgedict_tpu.models import transducer as T
     from edgedict_tpu.ops import rnn as rnn_ops
 
