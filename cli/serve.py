@@ -58,13 +58,16 @@ def build_server(FLAGS):
     beam = getattr(FLAGS, 'beam_width', 1) > 1
     if beam:
         # beam serving: each round replaces the client's transcript with
-        # the stream's current best hypothesis ('=' messages)
+        # the stream's current best hypothesis ('=' messages); --lm_path
+        # adds shallow fusion
+        from cli.stream import load_lm_fusion
         dec = MultiStreamBeamDecoder(
             params, cfg, feature_cfg, tokenizer,
             n_streams=FLAGS.n_streams, step_n_frame=FLAGS.step_n_frame,
             beam_width=FLAGS.beam_width,
             max_sym_per_frame=getattr(FLAGS, 'max_sym_per_frame', 3),
             merge_prefixes=getattr(FLAGS, 'merge_prefixes', True),
+            lm=load_lm_fusion(FLAGS),
             mesh=mesh, compute_dtype=compute_dtype)
     else:
         dec = MultiStreamDecoder(

@@ -31,6 +31,11 @@ flags.DEFINE_integer('max_sym_per_frame', 3,
                      'beam search label-expansion budget per encoder '
                      'frame; raise for models with bursty (many tokens '
                      'per frame) alignments')
+flags.DEFINE_string('lm_path', None,
+                    'trained LM checkpoint (cli.train_lm writes '
+                    'logs/<name>/lm.ckpt): enables shallow fusion when '
+                    'beam_width > 1')
+flags.DEFINE_float('lm_weight', 0.2, 'shallow-fusion LM weight')
 flags.DEFINE_string('infer_dtype', 'auto',
                     'decode compute dtype: auto (bf16 on TPU, fp32 '
                     'elsewhere), bf16, or fp32 — bf16 params halve the '
@@ -82,6 +87,18 @@ def load_inference_bundle(FLAGS):
     return params, cfg, feature_cfg, tokenizer, compute_dtype
 
 
+def load_lm_fusion(FLAGS):
+    """--lm_path/--lm_weight → the `lm=(params, cfg, λ)` triple the beam
+    decoders take for shallow fusion, or None."""
+    path = getattr(FLAGS, 'lm_path', None)
+    if not path:
+        return None
+    from edgedict_tpu.models.lm import load_lm_checkpoint
+    lm_params, lm_cfg = load_lm_checkpoint(path)
+    print(f'LM fusion: {path} (lambda={FLAGS.lm_weight})')
+    return lm_params, lm_cfg, float(FLAGS.lm_weight)
+
+
 def build_stream_decoder(FLAGS):
     from edgedict_tpu.stream import StreamingDecoder
 
@@ -96,6 +113,7 @@ def build_stream_decoder(FLAGS):
             max_sym_per_frame=getattr(FLAGS, 'max_sym_per_frame', 3),
             merge_prefixes=getattr(FLAGS, 'merge_prefixes', True),
             block_chunks=getattr(FLAGS, 'block_chunks', 1),
+            lm=load_lm_fusion(FLAGS),
             compute_dtype=compute_dtype)
     return StreamingDecoder(params, cfg, feature_cfg, tokenizer,
                             step_n_frame=FLAGS.step_n_frame,

@@ -80,3 +80,25 @@ def lm_loss(params, cfg: LMConfig, ys, ylen, deterministic=True, rng=None):
     total = jnp.sum(jnp.where(valid, nll, 0.0))
     count = jnp.maximum(jnp.sum(valid), 1)
     return total / count
+
+
+def load_lm_checkpoint(path):
+    """Load an LM checkpoint written by cli.train_lm
+    (logs/<name>/lm.ckpt — model params + {'lm_cfg': ...} in extra).
+    Returns (params, LMConfig); template-free so callers don't need to
+    know the LM geometry in advance."""
+    import json
+
+    from flax import serialization
+
+    from edgedict_tpu.checkpoint import load_checkpoint
+
+    with open(path, 'rb') as f:
+        raw = serialization.msgpack_restore(f.read())
+    cfg = LMConfig(**json.loads(raw['extra'])['lm_cfg'])
+    # msgpack alone mangles list nodes into index-keyed dicts — re-load
+    # through a template built from the recovered config
+    template = lm_init(jax.random.PRNGKey(0), cfg)
+    payload = load_checkpoint(path, template)
+    params = jax.tree.map(jnp.asarray, payload['model'])
+    return params, cfg

@@ -218,3 +218,28 @@ def test_prefix_merging_matches_lattice_posterior():
         max_tokens=4, merge_prefixes=True)
     assert abs(float(logp[0]) - best_lp) < 1e-3, (float(logp[0]), best_lp)
     assert list(np.asarray(toks[0][:int(n_tok[0])])) == best_y
+
+
+def test_load_lm_checkpoint_roundtrip(tmp_path):
+    """cli.train_lm's lm.ckpt format → load_lm_checkpoint (template-free)
+    → identical params/config, usable for streaming fusion."""
+    from edgedict_tpu.checkpoint import save_checkpoint
+    from edgedict_tpu.models.lm import load_lm_checkpoint
+
+    cfg = LMConfig(vocab_size=12, embed_size=16, hidden_size=16,
+                   num_layers=1, tie_weights=True)
+    params = lm_init(jax.random.PRNGKey(0), cfg)
+    logdir = str(tmp_path)
+    path = save_checkpoint(logdir, 7, params,
+                           extra={'lm_cfg': cfg.__dict__})
+    got_params, got_cfg = load_lm_checkpoint(path)
+    assert got_cfg == cfg
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(
+        np.asarray(a), np.asarray(b)), params, got_params)
+    # loaded LM drives fusion in the offline beam search
+    tparams = T.transducer_init(jax.random.PRNGKey(1), CFG)
+    h_enc = jax.random.normal(jax.random.PRNGKey(2), (1, 4, 12))
+    toks, n_tok, _ = beam_search_from_encoder(
+        tparams, CFG, h_enc, beam_width=2,
+        lm=(got_params, got_cfg, 0.3))
+    assert np.asarray(toks).shape[0] == 1 and int(np.asarray(n_tok)[0]) >= 0
