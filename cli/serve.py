@@ -54,6 +54,11 @@ def build_server(FLAGS):
         import jax
         from jax.sharding import Mesh
         import numpy as np
+        n_dev = len(jax.devices())
+        assert n_dev >= FLAGS.serve_dp_size, (
+            f'--serve_dp_size {FLAGS.serve_dp_size} but only {n_dev} '
+            'devices — a silently smaller mesh would miss real-time '
+            'deadlines at the planned stream count')
         mesh = Mesh(np.array(jax.devices()[:FLAGS.serve_dp_size]), ('dp',))
     beam = getattr(FLAGS, 'beam_width', 1) > 1
     if beam:

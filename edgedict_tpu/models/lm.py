@@ -91,14 +91,12 @@ def load_lm_checkpoint(path):
 
     from flax import serialization
 
-    from edgedict_tpu.checkpoint import load_checkpoint
-
     with open(path, 'rb') as f:
         raw = serialization.msgpack_restore(f.read())
     cfg = LMConfig(**json.loads(raw['extra'])['lm_cfg'])
-    # msgpack alone mangles list nodes into index-keyed dicts — re-load
-    # through a template built from the recovered config
+    # msgpack alone leaves list nodes as index-keyed dicts — map the
+    # restored state dict onto a template built from the recovered config
     template = lm_init(jax.random.PRNGKey(0), cfg)
-    payload = load_checkpoint(path, template)
-    params = jax.tree.map(jnp.asarray, payload['model'])
+    params = jax.tree.map(
+        jnp.asarray, serialization.from_state_dict(template, raw['model']))
     return params, cfg

@@ -40,15 +40,29 @@ from concurrent.futures import ThreadPoolExecutor
 import numpy as np
 
 
-async def _send(writer, payload: bytes):
-    writer.write(struct.pack('<I', len(payload)) + payload)
-    await writer.drain()
+async def _send(writer, payload: bytes, timeout=10.0):
+    """Bounded send: True on success.  A client that stops reading (drain
+    blocked past `timeout`) is aborted so it can never head-of-line-block
+    the round loop for everyone else."""
+    try:
+        writer.write(struct.pack('<I', len(payload)) + payload)
+        await asyncio.wait_for(writer.drain(), timeout)
+        return True
+    except (ConnectionError, asyncio.TimeoutError):
+        try:
+            writer.transport.abort()
+        except Exception:
+            pass
+        return False
 
 
-async def _recv(reader):
-    """One length-prefixed payload, or None on disconnect."""
+async def _recv(reader, max_len):
+    """One length-prefixed payload; None on disconnect or a length prefix
+    beyond `max_len` (protocol abuse — readexactly would buffer it all)."""
     try:
         (ln,) = struct.unpack('<I', await reader.readexactly(4))
+        if ln > max_len:
+            return None
         return await reader.readexactly(ln) if ln else b''
     except (asyncio.IncompleteReadError, ConnectionError):
         return None
@@ -67,11 +81,14 @@ class StreamServer:
     """
 
     def __init__(self, decoder, host='127.0.0.1', port=0,
-                 round_timeout=None, full_hypothesis=False):
+                 round_timeout=None, full_hypothesis=False,
+                 max_payload=1 << 24, max_buffer_seconds=600.0):
         self.dec = decoder
         self.host, self.port = host, port
         self.round_timeout = round_timeout
         self.full_hypothesis = full_hypothesis
+        self.max_payload = max_payload
+        self.max_buffer_samples = int(max_buffer_seconds * 16000)
         n = decoder.n
         self._buf = [np.zeros(0, np.float32) for _ in range(n)]
         self._writer = [None] * n
@@ -130,32 +147,40 @@ class StreamServer:
                 self._done[slot] = asyncio.Event()
                 self._last[slot] = ''
         if slot is None:
-            try:
-                await _send(writer, b'+[busy]')
-                await _send(writer, b'')
-            except ConnectionError:
-                pass
+            await _send(writer, b'+[busy]')
+            await _send(writer, b'')
             writer.close()
             return
-        # fresh per-stream state AT ATTACH: every chunk round advances all
-        # N decoder rows, so a freed slot has been hearing silence since
-        # its last client — and the reset must land (same single-thread
-        # executor as decode → ordered) before this client's first window
-        # can reach a round, which it does because audio is only read
-        # after this await
-        await asyncio.get_running_loop().run_in_executor(
-            self._exec, self.dec.reset_stream, slot)
-        while True:
-            payload = await _recv(reader)
-            if not payload:                     # EOF marker or disconnect
-                break
-            pcm = np.frombuffer(payload, np.float32)
+        try:
+            # fresh per-stream state AT ATTACH: every chunk round advances
+            # all N decoder rows, so a freed slot has been hearing silence
+            # since its last client — and the reset must land (same
+            # single-thread executor as decode → ordered) before this
+            # client's first window can reach a round, which it does
+            # because audio is only read after this await
+            await asyncio.get_running_loop().run_in_executor(
+                self._exec, self.dec.reset_stream, slot)
+            while True:
+                payload = await _recv(reader, self.max_payload)
+                if not payload:                 # EOF marker or disconnect
+                    break
+                if len(payload) % 4:            # not float32-aligned
+                    break                       # protocol error: drop
+                pcm = np.frombuffer(payload, np.float32)
+                async with self._cond:
+                    if (len(self._buf[slot]) + len(pcm)
+                            > self.max_buffer_samples):
+                        break                   # backpressure cap: drop
+                    self._buf[slot] = np.concatenate(
+                        [self._buf[slot], pcm])
+                    self._cond.notify_all()
+        finally:
+            # ALWAYS hand the slot to the round loop for flush+free —
+            # an unexpected exception must not leak an attached slot
+            # (in lockstep mode that would wedge rounds for everyone)
             async with self._cond:
-                self._buf[slot] = np.concatenate([self._buf[slot], pcm])
+                self._eof[slot] = True
                 self._cond.notify_all()
-        async with self._cond:
-            self._eof[slot] = True
-            self._cond.notify_all()
         await self._done[slot].wait()           # round loop flushed slot
         writer.close()
 
@@ -166,43 +191,56 @@ class StreamServer:
         loop = asyncio.get_running_loop()
         while True:
             async with self._cond:
-                fed = None
+                fed, deadline = None, None
                 while fed is None:
                     await self._finalize_drained()
                     attached = [i for i in range(self.dec.n)
                                 if self._writer[i] is not None]
                     ready = [i for i in attached
                              if len(self._buf[i]) >= win]
+                    now = loop.time()
                     if ready and len(ready) == len(attached):
                         fed = ready                      # lockstep round
                     elif ready and self.round_timeout is not None:
-                        # wait for stragglers up to the timeout, then go
-                        try:
-                            await asyncio.wait_for(
-                                self._cond.wait(), self.round_timeout)
-                        except asyncio.TimeoutError:
-                            await self._finalize_drained()
-                            fed = [i for i in range(self.dec.n)
-                                   if self._writer[i] is not None
-                                   and len(self._buf[i]) >= win]
-                            if not fed:
-                                fed = None
+                        # a FIXED deadline from the first ready stream —
+                        # re-arming per notification would let a chatty
+                        # fleet starve partial rounds forever
+                        if deadline is None:
+                            deadline = now + self.round_timeout
+                        if now >= deadline:
+                            fed = ready
+                        else:
+                            try:
+                                await asyncio.wait_for(self._cond.wait(),
+                                                       deadline - now)
+                            except asyncio.TimeoutError:
+                                pass
                     else:
+                        deadline = None
                         await self._cond.wait()
                 frames = np.zeros((self.dec.n, win), np.float32)
                 for i in fed:
                     frames[i] = self._buf[i][:win]
                     self._buf[i] = self._buf[i][hop:]
-            texts = await loop.run_in_executor(
-                self._exec, self.dec.decode, frames)
+                # snapshot the recipients WITH the frames: a client that
+                # attaches mid-decode must never receive text derived from
+                # the previous occupant's carried state
+                senders = list(self._writer)
+            try:
+                texts = await loop.run_in_executor(
+                    self._exec, self.dec.decode, frames)
+            except Exception as e:               # noqa: BLE001 — keep serving
+                print(f'serving: decode round failed: {e!r}', flush=True)
+                await asyncio.sleep(0.5)         # no tight error loop
+                continue
             self.rounds += 1
-            # every ATTACHED stream may have progressed — in a timed round
-            # the non-fed ones consumed a silence window (their text is
-            # still theirs to hear)
+            # every snapshotted stream may have progressed — in a timed
+            # round the non-fed ones consumed a silence window (their text
+            # is still theirs to hear)
             for i in range(self.dec.n):
-                w = self._writer[i]
-                if w is None:
-                    continue
+                w = senders[i]
+                if w is None or self._writer[i] is not w:
+                    continue                     # detached (or reattached)
                 if self.full_hypothesis:
                     if texts[i] == self._last[i]:
                         continue
@@ -212,10 +250,7 @@ class StreamServer:
                     msg = b'+' + texts[i].encode()
                 else:
                     continue
-                try:
-                    await _send(w, msg)
-                except ConnectionError:
-                    pass
+                await _send(w, msg)
             async with self._cond:
                 await self._finalize_drained()
 
@@ -226,10 +261,7 @@ class StreamServer:
         for i in range(self.dec.n):
             if (self._writer[i] is not None and self._eof[i]
                     and len(self._buf[i]) < win):
-                try:
-                    await _send(self._writer[i], b'')
-                except ConnectionError:
-                    pass
+                await _send(self._writer[i], b'')
                 self._writer[i] = None
                 self._done[i].set()
 

@@ -88,7 +88,10 @@ def main():
         os.environ['EDGEDICT_PALLAS_DECODE'] = '0'
         ref = _make_chunk_step_fn(params, cfg, None, 3).frame_loop(
             params, state, enc)
-        os.environ['EDGEDICT_PALLAS_DECODE'] = '1'
+        # 'force': auto mode declines on unmeshed multi-device hosts — the
+        # sweep must exercise the KERNEL, not verify scan==scan (on a TPU
+        # backend force still compiles for real; interpret is off-TPU only)
+        os.environ['EDGEDICT_PALLAS_DECODE'] = 'force'
         out = _make_chunk_step_fn(params, cfg, None, 3).frame_loop(
             params, state, enc)
         tok_eq = bool((np.asarray(ref[0]) == np.asarray(out[0])).all())
@@ -132,7 +135,7 @@ def main():
     print(f'offline scan:  {scan_ms:8.3f} ms/batch '
           f'({audio_s / scan_ms * 1e3:8.1f} audio-s/s)')
 
-    os.environ['EDGEDICT_PALLAS_DECODE'] = '1'
+    os.environ['EDGEDICT_PALLAS_DECODE'] = 'force'
     for block in args.blocks.split(','):
         os.environ['EDGEDICT_DECODE_BLOCK'] = block
         fn = jax.jit(lambda p, h: greedy_decode_from_encoder(p, cfg, h))

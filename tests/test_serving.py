@@ -196,6 +196,26 @@ def test_slot_state_is_fresh_after_idle_rounds():
         srv.stop()
 
 
+def test_malformed_payload_frees_slot():
+    """A payload that isn't float32-aligned is a protocol error: the slot
+    must flush and free (not leak attached forever), and the next client
+    decodes normally."""
+    from edgedict_tpu.serving import _drain_text
+
+    srv = _ServerThread(n_streams=1)
+    try:
+        host, port = srv.addr
+        bad = socket.create_connection((host, port))
+        bad.sendall(struct.pack('<I', 3) + b'abc')
+        assert _drain_text(bad) == ''          # flushed, nothing decoded
+        bad.close()
+        audio = _audio(11)
+        assert stream_client(host, port, audio) == \
+            _offline_text(_params(), audio)
+    finally:
+        srv.stop()
+
+
 def test_timed_round_feeds_silence_for_late_stream():
     """round_timeout mode: a ready stream is not held hostage by an
     attached-but-silent one."""
