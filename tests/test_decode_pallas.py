@@ -293,6 +293,23 @@ def test_offline_fused_declines_mixed_dtype(monkeypatch):
     assert dp.maybe_greedy_decode(params, ECFG, h_enc) is None
 
 
+def test_offline_declines_under_sharded_mesh(monkeypatch):
+    """Sharded eval (mesh axis > 1) keeps the scan — GSPMD splits it; the
+    offline route must decline rather than run an unsharded kernel."""
+    from jax.sharding import Mesh
+
+    from edgedict_tpu.ops import decode_pallas as dp
+    from edgedict_tpu.ops import rnn as rnn_ops
+
+    params = T.transducer_init(jax.random.PRNGKey(32), ECFG)
+    h_enc = jax.random.normal(jax.random.PRNGKey(33),
+                              (4, 3, ECFG.enc_proj_size))
+    monkeypatch.setenv('EDGEDICT_PALLAS_DECODE', 'force')
+    mesh = Mesh(np.array(jax.devices()[:2]), ('dp',))
+    with rnn_ops.mesh_context(mesh, 'dp'):
+        assert dp.maybe_greedy_decode(params, ECFG, h_enc) is None
+
+
 def test_offline_fused_under_jit(monkeypatch):
     """The fused offline decode traces under jit (trainer-eval call shape)
     and matches the scan."""
