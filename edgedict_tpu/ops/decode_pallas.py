@@ -23,6 +23,17 @@ input dtype), the embedding is an exact one-hot row-select with the PAD
 row pre-zeroed (torch padding_idx semantics, ops/layers.py:embedding),
 and argmax resolves ties to the FIRST maximum like jnp.argmax.
 
+On-chip parity envelope (scripts/verify_decode_tpu, measured): interpret
+mode is bit-exact by construction; real-TPU f32 is token-exact (matmul
+accumulation-order drift ~1e-9 never flips an argmax); real-TPU bf16 can
+flip rare near-ties — Mosaic and XLA tile the same fp32-accumulated
+matmuls in different orders, and a ~1-ulp-of-bf16 logit difference at a
+rounding boundary picks the other token, after which the decoder state
+diverges for the rest of the stream.  That drift is well inside the
+bf16-serving-mode approximation itself (bf16 vs f32 logits differ far
+more than Mosaic-bf16 vs XLA-bf16); the verify harness bounds the bf16
+token-mismatch RATE instead of asserting equality.
+
 Weights enter in right-multiply layout via `build_decode_cache`, attached
 once at decoder construction (stream.py:prepare_inference_params) so no
 per-dispatch transposes reach HBM.
@@ -95,7 +106,15 @@ def _first_argmax(x):
     semantics, including NaN-wins: a row containing NaN resolves to its
     FIRST NaN — plain max gives NaN, x==m is false everywhere, and the
     min-reduce would emit the out-of-range sentinel V otherwise), as lane
-    reductions (no 1-D iota: TPU needs >=2-D)."""
+    reductions (no 1-D iota: TPU needs >=2-D).
+
+    Comparisons run in f32 regardless of input dtype: bf16→f32 is exact
+    (same order, same ties, same NaNs → bit-identical index), and Mosaic
+    rejects the bf16 form at V>=2048 — masks derived from bf16 compares
+    carry (16,128)-packed layouts that can't relayout against the i32
+    iota/where ops ("Invalid relayout ... vector<8x2048xi1>", found by
+    the on-chip bisect; f32 compiles at every geometry)."""
+    x = x.astype(jnp.float32)
     v = x.shape[1]
     col = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
     nan = jnp.isnan(x)
@@ -194,9 +213,15 @@ def _kernel(f_ref, wdec_ref, bj_ref, wout_ref, bout_ref, tab_ref,
 
 def _decode_block(t):
     """Frames per grid step for the T-blocked offline decode: bounds the
-    VMEM-resident f slab (block × B × J).  Env EDGEDICT_DECODE_BLOCK."""
+    VMEM-resident f slab (block × B × J).  Env EDGEDICT_DECODE_BLOCK.
+    When the grid is actually blocked (k < t) Mosaic requires the block's
+    sublane dim divisible by 8 — round down (min 8) so an arbitrary env
+    setting can't produce an uncompilable BlockSpec."""
     k = int(os.environ.get('EDGEDICT_DECODE_BLOCK', '32'))
-    return max(1, min(k, t))
+    k = max(1, min(k, t))
+    if k < t:
+        k = max(8, (k // 8) * 8)
+    return k
 
 
 def _call_kernel(cache, f, h_dec, hs, cs, blank, unk, emit_logp=False,
@@ -306,12 +331,15 @@ def _tpu_kernel_works():
     def probe(dtype):
         z = lambda *s: np.zeros(s, dtype)
         f32 = lambda *s: np.zeros(s, np.float32)
+        # vocab kept at the PRODUCTION 2048: Mosaic rejections are shape-
+        # dependent (the bf16 argmax mask-relayout failure only appears at
+        # V>=2048 — a V=128 probe memoized a spurious ok=True in round 3)
         cache = {
             'w_dec_t': z(128, 128),
             'b_joint': f32(1, 128),
-            'w_out_t': z(128, 128),
-            'b_out': f32(1, 128),
-            'table': z(128, 8),
+            'w_out_t': z(128, 2048),
+            'b_out': f32(1, 2048),
+            'table': z(2048, 8),
             'layers': [{'w_ih_t': z(8, 512),
                         'w_hh_t': z(128, 512),
                         'bias': f32(1, 512)}],
@@ -321,9 +349,12 @@ def _tpu_kernel_works():
         jax.jit(lambda: _call_kernel(
             cache, z(2, 8, 128), z(8, 128), z(1, 8, 128), z(1, 8, 128),
             0, 3)).lower().compile()
+        # offline leg: block must satisfy Mosaic's sublane-divisibility
+        # rule when k < T (k=8 here; a k=2 probe was itself the invalid
+        # BlockSpec and memoized a spurious ok=False for rounds 2-3)
         jax.jit(lambda: _call_kernel(
-            cache, z(3, 8, 128), z(8, 128), z(1, 8, 128), z(1, 8, 128),
-            0, None, emit_logp=True, block=2)).lower().compile()
+            cache, z(17, 8, 128), z(8, 128), z(1, 8, 128), z(1, 8, 128),
+            0, None, emit_logp=True, block=8)).lower().compile()
 
     try:
         probe(np.float32)
