@@ -401,3 +401,18 @@ def test_multistream_fused_matches_scan(monkeypatch):
     ref = run()
     monkeypatch.setenv('EDGEDICT_PALLAS_DECODE', 'force')
     assert run() == ref
+
+
+def test_decode_block_rounds_to_sublane_rule(monkeypatch):
+    """EDGEDICT_DECODE_BLOCK values that would produce an invalid Mosaic
+    BlockSpec (sublane dim of a REAL block not divisible by 8) are
+    rounded; whole-T (k == t) stays as-is since it's always legal."""
+    from edgedict_tpu.ops.decode_pallas import _decode_block
+    monkeypatch.setenv('EDGEDICT_DECODE_BLOCK', '2')
+    assert _decode_block(100) == 8       # k < t: rounded up to 8
+    assert _decode_block(2) == 2         # k == t: whole-T, legal
+    monkeypatch.setenv('EDGEDICT_DECODE_BLOCK', '20')
+    assert _decode_block(100) == 16      # rounded down to a multiple of 8
+    monkeypatch.setenv('EDGEDICT_DECODE_BLOCK', '32')
+    assert _decode_block(100) == 32      # already legal
+    assert _decode_block(10) == 10       # clamped to whole-T
