@@ -98,7 +98,7 @@ def main(argv):
         dec.win_size, dec.hop_size = stream_chunk_geometry(
             FLAGS.win_length, FLAGS.hop_length, FLAGS.downsample,
             dec.meta['step_frames'])
-        dec.elapsed = []
+        dec.reset_profile()
         run_backend('exported', dec, utts, tokenizer)
 
 

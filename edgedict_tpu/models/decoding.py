@@ -45,8 +45,15 @@ def greedy_decode_from_encoder(params, cfg, h_enc):
     On TPU the frame loop runs as ONE Pallas kernel walking T' in
     VMEM-sized slabs (ops/decode_pallas.py — every weight the loop
     touches stays VMEM-resident); the lax.scan below is the exact-math
-    fallback and oracle."""
+    fallback and oracle.
+
+    Like the streaming frame loop (stream.py), the token loop runs at the
+    wider of the encoder-output and joint dtypes: under the bf16 serving
+    policy the joint/prediction net stay fp32, bf16 encoder frames are
+    upcast (exact), and argmax/log-softmax see fp32 logits."""
     from edgedict_tpu.ops import decode_pallas
+    h_enc = h_enc.astype(jnp.promote_types(
+        h_enc.dtype, params['joint']['w_enc'].dtype))
     fused = decode_pallas.maybe_greedy_decode(params, cfg, h_enc)
     if fused is not None:
         return fused

@@ -19,8 +19,10 @@ import os
 
 import numpy as np
 
-_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__))), 'native')
+# .so lookup: EDGEDICT_NATIVE_DIR override (non-editable installs point it
+# at a `make -C native` build dir), else <repo root>/native
+_NATIVE_DIR = os.environ.get('EDGEDICT_NATIVE_DIR') or os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), 'native')
 
 
 def _load(name):

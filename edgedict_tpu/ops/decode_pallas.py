@@ -13,26 +13,30 @@ whole frame loop in one `pallas_call`: every weight the loop touches
 output projection) is VMEM-resident across the T-frame `fori_loop`, and a
 frame costs actual compute instead of op dispatch.
 
-Bit-compatibility with the scan path is part of the contract (the block
-and per-chunk decoders are pinned equal to full-sequence decode): every
-matmul accumulates fp32 (`preferred_element_type`), every cast happens
-exactly where stream.py/ops/rnn.py casts (f/g to compute dtype before the
-tanh, logits back to compute dtype before argmax, LSTM state fp32 with
-per-frame round-trip to the carried state dtype, layer outputs to the
-input dtype), the embedding is an exact one-hot row-select with the PAD
-row pre-zeroed (torch padding_idx semantics, ops/layers.py:embedding),
-and argmax resolves ties to the FIRST maximum like jnp.argmax.
+Scan-path compatibility contract: bit-compatible in interpret mode (the
+block and per-chunk decoders are pinned equal to full-sequence decode)
+and token-exact in fp32 on chip.  Every matmul accumulates fp32
+(`preferred_element_type`), every cast happens exactly where
+stream.py/ops/rnn.py casts (f/g to compute dtype before the tanh, logits
+back to compute dtype before argmax, LSTM state fp32 with per-frame
+round-trip to the carried state dtype, layer outputs to the input
+dtype), the embedding is an exact one-hot row-select with the PAD row
+pre-zeroed (torch padding_idx semantics, ops/layers.py:embedding), and
+argmax resolves ties to the FIRST maximum like jnp.argmax.
 
 On-chip parity envelope (scripts/verify_decode_tpu, measured): interpret
-mode is bit-exact by construction; real-TPU f32 is token-exact (matmul
-accumulation-order drift ~1e-9 never flips an argmax); real-TPU bf16 can
-flip rare near-ties — Mosaic and XLA tile the same fp32-accumulated
-matmuls in different orders, and a ~1-ulp-of-bf16 logit difference at a
-rounding boundary picks the other token, after which the decoder state
-diverges for the rest of the stream.  That drift is well inside the
-bf16-serving-mode approximation itself (bf16 vs f32 logits differ far
-more than Mosaic-bf16 vs XLA-bf16); the verify harness bounds the bf16
-token-mismatch RATE instead of asserting equality.
+mode is bit-exact by construction; real-TPU fp32 is token-exact (matmul
+accumulation-order drift ~1e-9 never flips an argmax); real-TPU bf16
+arithmetic can flip rare near-ties — Mosaic and XLA tile the same
+fp32-accumulated matmuls in different orders, and a ~1-ulp-of-bf16 logit
+difference at a rounding boundary picks the other token, after which the
+decoder state diverges for the rest of the stream (~2% of streamed
+tokens, round 3).  PRODUCTION bf16 serving therefore never runs the
+frame loop in bf16: prepare_inference_params keeps the joint/prediction
+net fp32 (bf16 encoder only) so this kernel executes pure-fp32 frames —
+token-exact on chip — and the bf16 envelope above applies only to
+explicitly fully-cast parameter trees (measured, rate-bounded by the
+verify harness rather than asserted equal).
 
 Weights enter in right-multiply layout via `build_decode_cache`, attached
 once at decoder construction (stream.py:prepare_inference_params) so no
@@ -216,11 +220,14 @@ def _decode_block(t):
     VMEM-resident f slab (block × B × J).  Env EDGEDICT_DECODE_BLOCK.
     When the grid is actually blocked (k < t) Mosaic requires the block's
     sublane dim divisible by 8 — round down (min 8) so an arbitrary env
-    setting can't produce an uncompilable BlockSpec."""
+    setting can't produce an uncompilable BlockSpec.  The sublane round-up
+    is re-clamped to t so this function's own contract (frames per grid
+    step, <= t) holds even at tiny t (env=5, t=6: 8 would exceed t; t=6
+    degenerates to whole-T)."""
     k = int(os.environ.get('EDGEDICT_DECODE_BLOCK', '32'))
     k = max(1, min(k, t))
     if k < t:
-        k = max(8, (k // 8) * 8)
+        k = min(max(8, (k // 8) * 8), t)
     return k
 
 

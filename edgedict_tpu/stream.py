@@ -77,13 +77,27 @@ def prepare_inference_params(tree, dtype=None):
     traffic per layer per dispatch, rivalling the kernel's own VMEM-
     resident weight read at B=1 (ops/rnn_pallas.py:_w_hh_t picks the
     cached leaf up).  Checkpoints are unaffected: the transform is
-    in-memory only."""
+    in-memory only.
+
+    Serving precision policy: with a reduced `dtype` (bf16 serving), ONLY
+    the encoder is cast — the prediction net and joint (~9 MB fp32 at
+    E6D2, vs ~100 MB of encoder weights) stay fp32 so the whole
+    frame-synchronous token loop runs in fp32 arithmetic.  bf16 decode is
+    weight-streaming-bound and the encoder carries the traffic, so the
+    fp32 tail costs ~5 µs/dispatch of extra HBM reads while making token
+    decisions dtype-exact: Mosaic-vs-XLA fp32 accumulation-order drift is
+    measured never to flip an argmax (scripts/verify_decode_tpu, round 3),
+    where bf16 logits flipped ~2% of streamed tokens at rounding-boundary
+    near-ties."""
     if isinstance(tree, dict):
-        out = {k: prepare_inference_params(v, dtype)
+        decode_tail = 'joint' in tree and 'decoder' in tree
+        out = {k: prepare_inference_params(
+                   v, None if decode_tail and k in ('joint', 'decoder')
+                   else dtype)
                for k, v in tree.items() if k != '_decode'}
         if 'w_hh' in out:
             out['w_hh_t'] = jnp.swapaxes(out['w_hh'], 0, 1)
-        if 'joint' in out and 'decoder' in out:
+        if decode_tail:
             # kernel-layout weight views for the fused greedy frame-loop
             # kernel (ops/decode_pallas.py) — built once, not checkpointed
             from edgedict_tpu.ops import decode_pallas
@@ -115,8 +129,16 @@ def _make_chunk_step_fn(params, cfg: T.TransducerConfig,
 
         On TPU the whole loop runs as ONE Pallas kernel (every weight it
         touches VMEM-resident across the frames — ops/decode_pallas.py);
-        the lax.scan below is the exact-math fallback and oracle."""
+        the lax.scan below is the exact-math fallback and oracle.
+
+        The token loop runs at the WIDER of the encoder-output and joint
+        dtypes: under the bf16 serving policy (prepare_inference_params)
+        the joint/prediction net are fp32, so bf16 encoder frames are
+        upcast (exact) and every joint matmul, argmax and state update is
+        fp32 — token decisions don't sit on bf16 rounding boundaries."""
         from edgedict_tpu.ops import decode_pallas
+        enc_xs = enc_xs.astype(jnp.promote_types(
+            enc_xs.dtype, params['joint']['w_enc'].dtype))
         fused = decode_pallas.maybe_greedy_frame_loop(
             params, cfg, state, enc_xs, unk_id)
         if fused is not None:

@@ -14,6 +14,9 @@ def convert(mp3_path):
     wav_path = mp3_path[:-4] + '.wav'
     if os.path.exists(wav_path):
         return True
+    import shutil
+    if not shutil.which('ffmpeg'):     # mp3 needs ffmpeg; fail per-clip
+        return False
     return subprocess.call(
         ['ffmpeg', '-loglevel', 'quiet', '-y', '-i', mp3_path,
          '-ar', '16000', '-ac', '1', wav_path]) == 0

@@ -42,7 +42,15 @@ def flac_to_wav(flac_path):
     elif shutil.which('flac'):
         cmd = ['flac', '-s', '-d', '-o', wav_path, flac_path]
     else:
-        return False
+        # no shell decoder installed: the repo's own native FLAC decoder
+        # (native/flac_decoder.cpp) does the conversion in-process
+        try:
+            from edgedict_tpu.data.audio_io import load_audio, save_wav
+            audio, sr = load_audio(flac_path)
+            save_wav(wav_path, audio, sr)
+            return True
+        except Exception:
+            return False
     return subprocess.call(cmd) == 0
 
 

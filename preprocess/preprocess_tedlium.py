@@ -40,10 +40,28 @@ def parse_stm(path):
 
 
 def cut(sph_path, start, end, wav_path):
-    return subprocess.call(
-        ['ffmpeg', '-loglevel', 'quiet', '-y', '-i', sph_path,
-         '-ss', f'{start:.2f}', '-to', f'{end:.2f}',
-         '-ar', '16000', '-ac', '1', wav_path]) == 0
+    """Cut [start, end) seconds of one talk into a 16 kHz mono wav.  .sph
+    sources go through ffmpeg; when the source is already wav/flac (or
+    ffmpeg is absent) the repo's own loaders slice it in-process."""
+    import shutil
+    ext = os.path.splitext(sph_path)[1].lower()
+    if ext == '.sph' and shutil.which('ffmpeg'):
+        return subprocess.call(
+            ['ffmpeg', '-loglevel', 'quiet', '-y', '-i', sph_path,
+             '-ss', f'{start:.2f}', '-to', f'{end:.2f}',
+             '-ar', '16000', '-ac', '1', wav_path]) == 0
+    if ext in ('.wav', '.flac'):
+        try:
+            from edgedict_tpu.data.audio_io import load_audio, save_wav
+            audio, sr = load_audio(sph_path)
+            lo, hi = int(start * sr), min(int(end * sr), len(audio))
+            if hi <= lo:
+                return False
+            save_wav(wav_path, audio[lo:hi], sr)
+            return True
+        except Exception:
+            return False
+    return False
 
 
 def convert_split(root):
@@ -59,8 +77,11 @@ def convert_split(root):
         if not stm.endswith('.stm'):
             continue
         talk = stm[:-4]
-        sph = os.path.join(sph_dir, talk + '.sph')
-        if not os.path.exists(sph):
+        for ext in ('.sph', '.wav', '.flac'):
+            sph = os.path.join(sph_dir, talk + ext)
+            if os.path.exists(sph):
+                break
+        else:
             continue
         for i, (start, end, text) in enumerate(
                 parse_stm(os.path.join(stm_dir, stm))):

@@ -79,9 +79,25 @@ def main():
           decode_pallas._tpu_kernel_works())
 
     # ---- streaming frame loop parity on chip --------------------------
-    for dtype in (jnp.float32, jnp.bfloat16):
-        params = prepare_inference_params(
-            T.transducer_init(jax.random.PRNGKey(0), cfg), dtype)
+    # legs: (serving dtype, fully_cast, bound).  Production legs (f32 and
+    # the bf16 serving policy — bf16 encoder + fp32 token loop) must be
+    # token-EXACT: the frame loop executes pure-fp32 arithmetic, where
+    # Mosaic-vs-XLA accumulation-order drift never flips an argmax.  The
+    # fully-cast bf16 leg exercises the kernel's bf16 arithmetic (not a
+    # production config): Mosaic and XLA tile the same fp32-accumulated
+    # matmuls in different orders and a near-tie at a bf16 rounding
+    # boundary flips, after which the decoder state cascades — bound the
+    # RATE at a small multiple of the measured ~2% envelope so a real
+    # kernel regression (e.g. 20% of tokens wrong) still fails.
+    from edgedict_tpu.stream import cast_floating
+    legs = [(jnp.float32, False, 0.0), (jnp.bfloat16, False, 0.0),
+            (jnp.bfloat16, True, 0.05)]
+    for dtype, fully_cast, bound in legs:
+        params = T.transducer_init(jax.random.PRNGKey(0), cfg)
+        if fully_cast:
+            params = prepare_inference_params(cast_floating(params, dtype))
+        else:
+            params = prepare_inference_params(params, dtype)
         state = make_stream_state(params, cfg, batch=8)
         enc = jax.random.normal(jax.random.PRNGKey(1),
                                 (8, 12, cfg.enc_proj_size)).astype(dtype)
@@ -99,67 +115,84 @@ def main():
         hdec_diff = float(np.max(np.abs(
             np.asarray(ref[1], np.float32) - np.asarray(out[1],
                                                         np.float32))))
-        print(f'streaming parity {np.dtype(dtype).name}: token_mismatch='
+        name = np.dtype(dtype).name + (' (fully cast)' if fully_cast
+                                       else ' (serving policy)')
+        print(f'streaming parity {name}: token_mismatch='
               f'{mismatch:.4f} hdec_maxdiff={hdec_diff:.2e}')
-        if dtype == jnp.float32:
-            # f32 is token-exact on chip (matmul accumulation-order drift
-            # ~1e-9 never flips an argmax)
-            assert mismatch == 0.0, mismatch
+        if bound == 0.0:
+            assert mismatch == 0.0, (name, mismatch)
         else:
-            # bf16: Mosaic-vs-XLA accumulation order can flip rare
-            # near-ties, after which the diverged decoder state cascades
-            # (decode_pallas docstring, "on-chip parity envelope").
-            # Bound the rate rather than asserting equality.
-            assert mismatch < 0.25, mismatch
+            assert mismatch < bound, (name, mismatch)
 
     # ---- offline decode parity + block sweep --------------------------
+    # Three legs mirror the streaming sweep: fp32 (token-exact, one block
+    # setting), the production bf16 serving policy (bf16 encoder + fp32
+    # token loop — token-exact, timed across EDGEDICT_DECODE_BLOCK), and
+    # fully-cast bf16 (kernel bf16-arithmetic coverage, rate-bounded).
     n_frames = int(args.utt_seconds * 16000 - 320) // 200 + 1
     t_ds = (n_frames // 3) - (n_frames // 3) % 4
-    dtype = jnp.bfloat16
-    params = jax.tree.map(
-        lambda x: x.astype(dtype) if x.dtype == jnp.float32 else x,
-        T.transducer_init(jax.random.PRNGKey(2), cfg))
-    xs = jax.random.normal(jax.random.PRNGKey(3),
-                           (args.batch, t_ds, cfg.input_size)).astype(dtype)
-    h_enc, _ = jax.jit(lambda p, x: T.encoder_apply(p['encoder'], cfg, x)
-                       )(params, xs)
-    jax.block_until_ready(h_enc)
-
-    os.environ['EDGEDICT_PALLAS_DECODE'] = '0'
-    fn_scan = jax.jit(
-        lambda p, h: greedy_decode_from_encoder(p, cfg, h))
-    y_ref, nlp_ref = fn_scan(params, h_enc)
-    y_ref = np.asarray(y_ref)
-
-    def timed(fn):
-        def run(n):
-            t0 = time.time()
-            for _ in range(n):
-                y, _ = fn(params, h_enc)
-            np.asarray(y)
-            return time.time() - t0
-        return slope(run) * 1e3
-
-    scan_ms = timed(fn_scan)
     audio_s = args.batch * args.utt_seconds
-    print(f'offline scan:  {scan_ms:8.3f} ms/batch '
-          f'({audio_s / scan_ms * 1e3:8.1f} audio-s/s)')
+    base = T.transducer_init(jax.random.PRNGKey(2), cfg)
 
-    os.environ['EDGEDICT_PALLAS_DECODE'] = 'force'
-    for block in args.blocks.split(','):
-        os.environ['EDGEDICT_DECODE_BLOCK'] = block
-        fn = jax.jit(lambda p, h: greedy_decode_from_encoder(p, cfg, h))
-        y, nlp = fn(params, h_enc)
-        mism = float((np.asarray(y) != y_ref).mean())
-        nlp_diff = float(np.max(np.abs(
-            np.asarray(nlp, np.float32) - np.asarray(nlp_ref, np.float32))))
-        ms = timed(fn)
-        print(f'offline fused (block={block:>3}): {ms:8.3f} ms/batch '
-              f'({audio_s / ms * 1e3:8.1f} audio-s/s)  token_mismatch='
-              f'{mism:.4f} nlp_maxdiff={nlp_diff:.2e}')
-        # bf16 on-chip: bounded near-tie flip rate, not equality (see
-        # the streaming-parity comment / decode_pallas docstring)
-        assert mism < 0.25, f'token mismatch {mism} at block={block}'
+    def run_leg(name, params, enc_dtype, blocks, bound):
+        xs = jax.random.normal(
+            jax.random.PRNGKey(3),
+            (args.batch, t_ds, cfg.input_size)).astype(enc_dtype)
+        h_enc, _ = jax.jit(lambda p, x: T.encoder_apply(
+            p['encoder'], cfg, x))(params, xs)
+        jax.block_until_ready(h_enc)
+
+        def timed(fn):
+            def run(n):
+                t0 = time.time()
+                for _ in range(n):
+                    y, _ = fn(params, h_enc)
+                np.asarray(y)
+                return time.time() - t0
+            return slope(run) * 1e3
+
+        os.environ['EDGEDICT_PALLAS_DECODE'] = '0'
+        fn_scan = jax.jit(
+            lambda p, h: greedy_decode_from_encoder(p, cfg, h))
+        y_ref, nlp_ref = fn_scan(params, h_enc)
+        y_ref = np.asarray(y_ref)
+        scan_ms = timed(fn_scan)
+        print(f'offline scan [{name}]:  {scan_ms:8.3f} ms/batch '
+              f'({audio_s / scan_ms * 1e3:8.1f} audio-s/s)')
+
+        os.environ['EDGEDICT_PALLAS_DECODE'] = 'force'
+        for block in blocks:
+            os.environ['EDGEDICT_DECODE_BLOCK'] = block
+            fn = jax.jit(
+                lambda p, h: greedy_decode_from_encoder(p, cfg, h))
+            y, nlp = fn(params, h_enc)
+            mism = float((np.asarray(y) != y_ref).mean())
+            nlp_diff = float(np.max(np.abs(
+                np.asarray(nlp, np.float32)
+                - np.asarray(nlp_ref, np.float32))))
+            ms = timed(fn)
+            print(f'offline fused [{name}] (block={block:>3}): '
+                  f'{ms:8.3f} ms/batch ({audio_s / ms * 1e3:8.1f} '
+                  f'audio-s/s)  token_mismatch={mism:.4f} '
+                  f'nlp_maxdiff={nlp_diff:.2e}')
+            if bound == 0.0:
+                assert mism == 0.0, (name, block, mism)
+            else:
+                assert mism < bound, (name, block, mism)
+
+    blocks = args.blocks.split(',')
+    # fp32: token-EXACT on chip, one block setting suffices
+    run_leg('f32', prepare_inference_params(base), jnp.float32,
+            blocks[:1], 0.0)
+    # production bf16 serving policy: fp32 token loop → token-exact;
+    # this is the serving config, so it carries the full timing sweep
+    run_leg('bf16 serving', prepare_inference_params(base, jnp.bfloat16),
+            jnp.bfloat16, blocks, 0.0)
+    # fully-cast bf16: kernel bf16 arithmetic, near-tie flips rate-bounded
+    from edgedict_tpu.stream import cast_floating
+    run_leg('bf16 fully-cast',
+            prepare_inference_params(cast_floating(base, jnp.bfloat16)),
+            jnp.bfloat16, blocks[:1], 0.05)
 
 
 if __name__ == '__main__':

@@ -97,9 +97,34 @@ def test_fused_unk_reargmax(monkeypatch):
 
 
 def test_fused_bf16(monkeypatch):
-    """Production serving dtype: bf16 params + bf16 encoder outputs."""
+    """Production bf16 serving policy: ONLY the encoder is cast — the
+    joint/prediction net stay fp32 (prepare_inference_params), bf16
+    encoder frames are upcast at the frame loop, and the whole token loop
+    (kernel and scan alike) runs fp32 — the on-chip token-exactness
+    guarantee."""
     params = prepare_inference_params(
         T.transducer_init(jax.random.PRNGKey(5), ECFG), jnp.bfloat16)
+    assert params['encoder']['layers'][0]['rnn']['w_hh'].dtype \
+        == jnp.bfloat16
+    assert params['joint']['out']['w'].dtype == jnp.float32
+    assert params['decoder']['proj']['w'].dtype == jnp.float32
+    state = make_stream_state(params, ECFG, batch=4)
+    assert state.h_dec.dtype == jnp.float32
+    enc = jax.random.normal(jax.random.PRNGKey(6),
+                            (4, 8, ECFG.enc_proj_size)).astype(jnp.bfloat16)
+    ref, out = _run_both(monkeypatch, params, ECFG, state, enc, UNK)
+    _assert_match(ref, out)
+    assert out[1].dtype == jnp.float32
+
+
+def test_fused_bf16_fully_cast(monkeypatch):
+    """Fully bf16-cast parameter tree (cast_floating — NOT the serving
+    policy): the kernel runs bf16 arithmetic and must still match the
+    scan bit-for-bit in interpret mode."""
+    from edgedict_tpu.stream import cast_floating
+    params = prepare_inference_params(cast_floating(
+        T.transducer_init(jax.random.PRNGKey(5), ECFG), jnp.bfloat16))
+    assert params['joint']['out']['w'].dtype == jnp.bfloat16
     state = make_stream_state(params, ECFG, batch=4)
     enc = jax.random.normal(jax.random.PRNGKey(6),
                             (4, 8, ECFG.enc_proj_size)).astype(jnp.bfloat16)
@@ -416,3 +441,8 @@ def test_decode_block_rounds_to_sublane_rule(monkeypatch):
     monkeypatch.setenv('EDGEDICT_DECODE_BLOCK', '32')
     assert _decode_block(100) == 32      # already legal
     assert _decode_block(10) == 10       # clamped to whole-T
+    monkeypatch.setenv('EDGEDICT_DECODE_BLOCK', '5')
+    # small t: the sublane round-up (8) would exceed t — re-clamped to
+    # whole-T so the function's own contract (k <= t) holds
+    assert _decode_block(6) == 6
+    assert _decode_block(8) == 8

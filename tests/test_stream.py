@@ -354,8 +354,11 @@ def test_bf16_decode_block_matches_sequential():
                                compute_dtype=jnp.bfloat16)
     seq = StreamingDecoder(params, cfg, feature_cfg, _Tok(),
                            step_n_frame=2, compute_dtype=jnp.bfloat16)
-    # params were cast once at construction
-    assert blocked.params['joint']['out']['w'].dtype == jnp.bfloat16
+    # serving precision policy (prepare_inference_params): the encoder was
+    # cast once at construction; the joint/prediction net stay fp32 so the
+    # token loop runs fp32 arithmetic (token-exact on chip)
+    assert blocked.params['joint']['out']['w'].dtype == jnp.float32
+    assert blocked.params['decoder']['proj']['w'].dtype == jnp.float32
     assert blocked.params['encoder']['layers'][0]['rnn']['w_hh_t'].dtype \
         == jnp.bfloat16
     rng = np.random.RandomState(5)
