@@ -19,15 +19,17 @@ The `extra` field carries honest-accounting companions (VERDICT rounds 1-2):
     fetch, divide the difference) — the per-chunk device time a local
     deployment sees, free of the dispatch floor.
   * train_step_ms / train_step_mfu / train_step_hfu: full E6D2 training
-    step (fwd+bwd+adam, bf16, B=32 × 14 s utterances — the reference's
-    per-GPU batch: global 128 over 4× 2080 Ti, README.md:138).  FLOPs are
-    counted analytically from the matmul shapes.  MFU uses the standard
-    model-FLOPs convention (3 × forward, NO remat); HFU additionally
-    counts the rematerialized joint recompute inside rnnt_loss_from_joint
-    (the hardware actually executes it).
-    train_step_batch16_* keeps the round-1 B=16 pin for cross-round
-    comparability (B=16 under-fills the 128-row MXU on the LSTM
-    recurrence — see VALIDATION.md batch-scaling ladder).
+    step (fwd+bwd+adam, bf16, B=64 × 14 s utterances — half the
+    reference's GLOBAL batch of 128 over 4× 2080 Ti, README.md:138, on
+    ONE v5e core).  FLOPs are counted analytically from the matmul
+    shapes.  MFU uses the standard model-FLOPs convention (3 × forward,
+    NO remat); HFU additionally counts the rematerialized joint
+    recompute inside rnnt_loss_from_joint (the hardware actually
+    executes it — the memory-fused lattice never materializes the
+    (B,T,U,V) logits, so the recompute is what buys the batch scaling).
+    train_step_batch16_* / _batch32_* keep the round-1/-3 pins for
+    cross-round comparability; _batch128_* pins the saturation point of
+    the batch-scaling ladder (VALIDATION.md §3c).
   * offline_decode_*: batched whole-utterance greedy decode (the trainer
     eval / cli.wer_parity path) — encoder over the full utterance, then the
     fused Pallas frame-loop kernel walking T' in VMEM slabs; slope-timed.
@@ -495,11 +497,16 @@ def main():
         ('per_chunk', chunk_phase),
         ('server', server_phase),
         ('offline_decode', offline_phase),
-        ('train_step', lambda: train_phase(32, 'train_step')),
+        # headline train batch is 64 (round-4 move): the round-3 glue
+        # fixes hold at B=64 and every knob re-sweep at B=64 (time_chunk,
+        # LSTM block fwd/bwd, joint ROWS) confirmed the defaults optimal;
+        # larger batches saturate at ~75.5% HFU (B=128: 162.3 ms, B=256:
+        # 323.6 ms — VALIDATION.md §3c floor accounting)
+        ('train_step', lambda: train_phase(64, 'train_step')),
         ('train_step_batch16', lambda: train_phase(16, 'train_step_batch16')),
-        # batch-scaling lever (VALIDATION.md §3 roofline: recurrence
-        # rows): B=64 pins where the next structural win comes from
-        ('train_step_batch64', lambda: train_phase(64, 'train_step_batch64')),
+        ('train_step_batch32', lambda: train_phase(32, 'train_step_batch32')),
+        ('train_step_batch128',
+         lambda: train_phase(128, 'train_step_batch128')),
     ]
     for name, fn in phases:
         try:

@@ -27,7 +27,9 @@ def main(argv):
     if FLAGS.mode == 'eval':
         trainer.load(FLAGS.resume_step)
         loss, wer = trainer.evaluate()
-        print(f'val_loss {loss:.4f} WER {wer:.4f}')
+        beam = (f' beam_WER {trainer.last_beam_wer:.4f}'
+                if trainer.last_beam_wer is not None else '')
+        print(f'val_loss {loss:.4f} WER {wer:.4f}{beam}')
         return
     trainer.train()
 

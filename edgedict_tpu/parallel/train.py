@@ -280,6 +280,47 @@ def make_eval_step(cfg, mesh=None, feature_pipeline=None, feature_fn=None,
     return fn
 
 
+def make_beam_eval_step(cfg, beam_width, mesh=None, feature_pipeline=None,
+                        feature_fn=None, batch_keys=None,
+                        max_sym_per_frame=3, max_tokens=200, lm=None):
+    """Jitted beam-search eval step: (params, batch) → (tokens (B, U_cap),
+    n_tok (B,)).  Same featurization contract as make_eval_step; used by
+    Trainer.evaluate when --eval_beam_width > 0 (beam+LM measured a 24%
+    relative WER win over greedy, tests/test_beam_gain.py — the reference
+    only ever evaluates greedy, cli/baseline.py:271-285)."""
+    from edgedict_tpu.models.beam_search import transducer_beam_search
+
+    def beam_step(params, batch):
+        if feature_fn is not None:
+            xs, xlen = feature_fn(params, batch)
+        elif feature_pipeline is not None:
+            xs, xlen = feature_pipeline(batch['audio'], batch['alen'],
+                                        train=False)
+        else:
+            xs, xlen = batch['xs'], batch['xlen']
+        toks, n_tok, _ = transducer_beam_search(
+            params, cfg, xs, xlen, beam_width=beam_width,
+            max_sym_per_frame=max_sym_per_frame, max_tokens=max_tokens,
+            lm=lm)
+        return toks, n_tok
+
+    if mesh is None:
+        return jax.jit(beam_step)
+    b_shard = batch_sharding(mesh, with_accum_axis=False)
+    keys = batch_keys or (('audio', 'alen', 'ys', 'ylen')
+                          if (feature_pipeline is not None
+                              or feature_fn is not None) else
+                          ('xs', 'xlen', 'ys', 'ylen'))
+    jitted = jax.jit(beam_step,
+                     in_shardings=(None, {k: b_shard for k in keys}))
+
+    def fn(params, batch):
+        with rnn_ops.mesh_context(mesh):
+            return jitted(params, batch)
+
+    return fn
+
+
 # small shims so this module has no hard optax dependency at import time of
 # the state types (optimizer objects come in from edgedict_tpu.optim)
 def optax_apply_updates(params, updates):

@@ -205,6 +205,13 @@ class Trainer:
                 feature_pipeline=self.pipeline)
         self.eval_step = make_eval_step(
             self.cfg, self.mesh, feature_pipeline=self.pipeline)
+        self.beam_eval_step = None
+        if getattr(FLAGS, 'eval_beam_width', 0) > 0:
+            from edgedict_tpu.parallel import make_beam_eval_step
+            self.beam_eval_step = make_beam_eval_step(
+                self.cfg, FLAGS.eval_beam_width, self.mesh,
+                feature_pipeline=self.pipeline)
+        self.last_beam_wer = None
 
     # ------------------------------------------------------------------
     def _lr(self, step):
@@ -269,8 +276,10 @@ class Trainer:
                     if self.writer:
                         self.writer.add_scalar('val_loss', val_loss, step)
                         self.writer.add_scalar('WER', val_wer, step)
+                    beam = (f' beam_WER {self.last_beam_wer:.4f}'
+                            if self.last_beam_wer is not None else '')
                     log_fn(f'eval @ {step}: loss {val_loss:.4f} '
-                           f'WER {val_wer:.4f}')
+                           f'WER {val_wer:.4f}{beam}')
                     if val_wer < self._best_wer:
                         # best-WER checkpoint (the lightning policy,
                         # cli/lightning.py:147-159)
@@ -287,7 +296,7 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def evaluate(self, max_batches=None):
-        losses, refs, hyps = [], [], []
+        losses, refs, hyps, beam_hyps = [], [], [], []
         for i, batch in enumerate(self.eval_loader):
             if max_batches is not None and i >= max_batches:
                 break
@@ -303,9 +312,24 @@ class Trainer:
             refs.extend(self.tokenizer.decode_plus(
                 [y[:n] for y, n in zip(np.asarray(batch['ys']),
                                        np.asarray(batch['ylen']))]))
+            if self.beam_eval_step is not None:
+                toks, n_tok = self.beam_eval_step(self.state.params, dev)
+                beam_hyps.extend(self.tokenizer.decode_plus(
+                    [t[:n] for t, n in zip(np.asarray(toks),
+                                           np.asarray(n_tok))]))
         pairs = [(r, h) for r, h in zip(refs, hyps) if r.strip()]
         val_wer = wer_fn([r for r, _ in pairs], [h for _, h in pairs]) \
             if pairs else 1.0
+        self.last_beam_wer = None
+        if beam_hyps:
+            bpairs = [(r, h) for r, h in zip(refs, beam_hyps)
+                      if r.strip()]
+            if bpairs:
+                self.last_beam_wer = wer_fn([r for r, _ in bpairs],
+                                            [h for _, h in bpairs])
+                if self.writer:
+                    self.writer.add_scalar('beam_WER', self.last_beam_wer,
+                                           int(self.state.step))
         if self.writer and pairs:
             sample = '\n\n'.join(f'REF: {r}\nHYP: {h}'
                                  for r, h in pairs[:self.FLAGS.sample_size])

@@ -1,0 +1,275 @@
+"""On-chip training soak: thousands of full-scale E6D2 steps through the
+REAL production stack (cli.baseline subprocess: DataLoader, on-device
+featurization, background checkpoints, eval WER) with a mid-run SIGKILL,
+a double-resume bit-determinism check, and a resume-to-completion — the
+hours-scale stability evidence the short convergence runs don't give
+(VERDICT r3 item 3; the reference's training reality is a 3-day run,
+/root/reference/README.md:74,138).
+
+  python -m scripts.soak_train [--steps 5000] [--batch 64] [--utts 512]
+
+Phases:
+  1. synthesize a WAV corpus (LibriSpeech layout, char transcripts);
+  2. train from scratch; SIGKILL the process mid-run (a REAL kill, not a
+     graceful stop) once the log shows `--kill_after_step`;
+  3. resume from the surviving checkpoint TWICE for a few hundred steps
+     and require the resulting checkpoint files to be BYTE-IDENTICAL
+     (deterministic replay after an unclean death);
+  4. resume again to the full step budget;
+  5. report: loss trajectory (first/mid/final window means, monotone-ish
+     check), sustained audio-s/s from step-log timestamps, NaN-skip
+     count, checkpoint inventory.  Writes SOAK_r04.json next to the log.
+"""
+
+import argparse
+import json
+import os
+import re
+import shutil
+import signal
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+TEXTS = ['hello world', 'the cat sat on the mat', 'open the door now',
+         'speech recognition works', 'one two three four five',
+         'a quick brown fox', 'turn the volume down', 'close the window',
+         'this is a test utterance', 'good morning everyone']
+
+
+def make_corpus(root, n, seconds, sr=16000, seed=0):
+    sys.path.insert(0, REPO)
+    from edgedict_tpu.data.audio_io import save_wav
+    rng = np.random.RandomState(seed)
+    d = os.path.join(root, '1', '1')
+    os.makedirs(d, exist_ok=True)
+    lines = []
+    t = np.linspace(0, seconds, int(sr * seconds), endpoint=False)
+    for i in range(n):
+        name = f'1-1-{i:04d}'
+        # per-utterance tone mixture + noise: distinct, learnable audio
+        f0 = 120 + 17 * (i % 40)
+        audio = (0.25 * np.sin(2 * np.pi * f0 * t)
+                 + 0.15 * np.sin(2 * np.pi * (2.3 * f0) * t)
+                 + 0.05 * rng.randn(len(t)))
+        save_wav(os.path.join(d, name + '.wav'), audio, sr)
+        lines.append(f'{name} {TEXTS[i % len(TEXTS)].upper()}')
+    with open(os.path.join(d, '1-1.trans.txt'), 'w') as f:
+        f.write('\n'.join(lines) + '\n')
+
+
+def flags_for(args, corpus, logs, epochs, mode='train', extra=()):
+    return [
+        '--mode', mode,
+        '--LibriSpeech_train_100', corpus,
+        '--LibriSpeech_train_360', '/nonexistent',
+        '--LibriSpeech_train_500', '/nonexistent',
+        '--LibriSpeech_test', corpus,
+        '--TEDLIUM_train', '/nonexistent', '--CommonVoice', '/nonexistent',
+        '--YT_bloomberg2', '/nonexistent', '--YT_life', '/nonexistent',
+        '--logdir_root', logs, '--name', 'soak',
+        '--tokenizer', 'char',
+    ] + ([
+        # --tiny: CPU smoke of the orchestration itself
+        '--enc_hidden_size', '16', '--enc_layers', '2',
+        '--enc_proj_size', '16', '--dec_hidden_size', '16',
+        '--dec_layers', '1', '--dec_proj_size', '16',
+        '--joint_size', '16', '--vocab_embed_size', '8',
+        '--feature', 'logfbank', '--feature_size', '8',
+        '--n_fft', '256', '--win_length', '256', '--hop_length', '128',
+        '--downsample', '3',
+    ] if args.tiny else [
+        # E6D2 (flagfiles/E6D2.txt model shapes)
+        '--enc_hidden_size', '1024', '--enc_layers', '6',
+        '--enc_proj_size', '640', '--dec_hidden_size', '256',
+        '--dec_layers', '2', '--dec_proj_size', '256',
+        '--joint_size', '640', '--vocab_embed_size', '64',
+        '--feature', 'logfbank', '--feature_size', '80',
+        '--n_fft', '400', '--win_length', '400', '--hop_length', '200',
+        '--downsample', '3',
+    ]) + [
+        '--batch_size', str(args.batch), '--sub_batch_size',
+        str(args.batch), '--eval_batch_size', '16',
+        '--audio_max_length', str(args.utt_seconds),
+        '--lr', '4e-4', '--warmup_step', '200', '--gradclip', '10',
+        '--loss_step', '10',
+        '--save_step', str(args.save_step),
+        '--eval_step', str(args.eval_step),
+        '--epochs', str(epochs),
+    ] + list(extra)
+
+
+STEP_RE = re.compile(
+    r'step (\d+)/\d+ loss ([-\d.naif]+) lr \S+ \((\d+\.\d+)s\)')
+
+
+def parse_log(path, offset=0):
+    steps = []
+    with open(path, errors='ignore') as f:
+        f.seek(offset)
+        for line in f:
+            m = STEP_RE.search(line)
+            if m:
+                steps.append((int(m.group(1)), float(m.group(2)),
+                              float(m.group(3))))
+    return steps
+
+
+def launch(flags, log_path, env):
+    log = open(log_path, 'a')
+    return subprocess.Popen(
+        [sys.executable, '-m', 'cli.baseline'] + flags,
+        cwd=REPO, env=env, stdout=log, stderr=subprocess.STDOUT), log
+
+
+def wait_for_step(log_path, target, proc, timeout):
+    t0 = time.time()
+    while time.time() - t0 < timeout:
+        if proc.poll() is not None:
+            return parse_log(log_path)[-1][0] if parse_log(log_path) \
+                else -1
+        steps = parse_log(log_path)
+        if steps and steps[-1][0] >= target:
+            return steps[-1][0]
+        time.sleep(5)
+    raise TimeoutError(f'no step >= {target} within {timeout}s')
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--steps', type=int, default=5000)
+    ap.add_argument('--batch', type=int, default=64)
+    ap.add_argument('--utts', type=int, default=512)
+    ap.add_argument('--utt_seconds', type=float, default=14.0)
+    ap.add_argument('--save_step', type=int, default=250)
+    ap.add_argument('--eval_step', type=int, default=1000)
+    ap.add_argument('--kill_frac', type=float, default=0.45)
+    ap.add_argument('--resume_probe_steps', type=int, default=100,
+                    help='steps per double-resume determinism leg')
+    ap.add_argument('--work', default='/tmp/edgedict_soak')
+    ap.add_argument('--tiny', action='store_true',
+                    help='tiny model smoke of the orchestration (CPU)')
+    args = ap.parse_args()
+
+    work = args.work
+    corpus = os.path.join(work, 'libri')
+    logs = os.path.join(work, 'logs')
+    logdir = os.path.join(logs, 'soak')
+    log_path = os.path.join(work, 'train.log')
+    if os.path.exists(work):
+        shutil.rmtree(work)
+    os.makedirs(work)
+    print(f'[soak] corpus: {args.utts} x {args.utt_seconds}s WAV')
+    make_corpus(corpus, args.utts, args.utt_seconds)
+
+    steps_per_epoch = args.utts // args.batch
+    total_epochs = -(-args.steps // steps_per_epoch)
+    kill_at = int(args.steps * args.kill_frac)
+    env = dict(os.environ, PYTHONPATH=REPO)
+
+    # ---- phase 1+2: fresh train, SIGKILL mid-run ----------------------
+    print(f'[soak] training to {args.steps} steps '
+          f'({steps_per_epoch}/epoch), SIGKILL at ~{kill_at}')
+    proc, log = launch(flags_for(args, corpus, logs, total_epochs),
+                       log_path, env)
+    try:
+        reached = wait_for_step(log_path, kill_at, proc, timeout=7200)
+    finally:
+        if proc.poll() is None:
+            proc.send_signal(signal.SIGKILL)      # a real unclean death
+            proc.wait()
+        log.close()
+    assert reached >= kill_at, f'died before kill point (step {reached})'
+    print(f'[soak] killed at step >= {reached}')
+
+    ckpts = sorted(int(f.split(".")[0])
+                   for f in os.listdir(os.path.join(logdir, 'models'))
+                   if f.split('.')[0].isdigit())
+    assert ckpts, 'no checkpoint survived the kill'
+    ckpt = ckpts[-1]
+    print(f'[soak] surviving checkpoints: {ckpts} -> resume from {ckpt}')
+
+    # ---- phase 3: double-resume determinism ---------------------------
+    probe_target = ckpt + args.resume_probe_steps
+    probe_epochs = -(-probe_target // steps_per_epoch)
+    hashes = []
+    for leg in ('A', 'B'):
+        # remove checkpoints AFTER ckpt so both legs resume identically
+        for s in list(os.listdir(os.path.join(logdir, 'models'))):
+            n = s.split('.')[0]
+            if n.isdigit() and int(n) > ckpt:
+                os.remove(os.path.join(logdir, 'models', s))
+        plog = os.path.join(work, f'probe_{leg}.log')
+        proc, log = launch(
+            flags_for(args, corpus, logs, probe_epochs, mode='resume'),
+            plog, env)
+        rc = proc.wait(timeout=7200)
+        log.close()
+        assert rc == 0, f'probe {leg} rc={rc}: see {plog}'
+        final = max(int(f.split('.')[0])
+                    for f in os.listdir(os.path.join(logdir, 'models'))
+                    if f.split('.')[0].isdigit())
+        with open(os.path.join(logdir, 'models', f'{final}.ckpt'),
+                  'rb') as f:
+            import hashlib
+            hashes.append((final, hashlib.sha256(f.read()).hexdigest()))
+        print(f'[soak] resume leg {leg}: step {final} '
+              f'sha256 {hashes[-1][1][:16]}')
+    assert hashes[0] == hashes[1], \
+        f'resume is NOT bit-deterministic: {hashes}'
+    print('[soak] double-resume checkpoints BYTE-IDENTICAL')
+
+    # ---- phase 4: resume to completion --------------------------------
+    final_offset = os.path.getsize(log_path)
+    proc, log = launch(
+        flags_for(args, corpus, logs, total_epochs, mode='resume'),
+        log_path, env)
+    rc = proc.wait(timeout=14400)
+    log.close()
+    assert rc == 0, f'final leg rc={rc}'
+
+    # ---- phase 5: report ----------------------------------------------
+    steps = parse_log(log_path)
+    losses = np.array([(s, l) for s, l, _ in steps if np.isfinite(l)])
+    n = len(losses)
+    window = max(n // 10, 1)
+    first = float(losses[:window, 1].mean())
+    mid = float(losses[n // 2:n // 2 + window, 1].mean())
+    last = float(losses[-window:, 1].mean())
+    # sustained throughput from the FINAL leg's timestamp deltas only
+    # (elapsed restarts per process; skip its first tenth for compiles)
+    leg = parse_log(log_path, offset=final_offset)
+    leg = [(s, t) for s, _, t in leg[max(len(leg) // 10, 1):]]
+    if len(leg) >= 2:
+        ds = leg[-1][0] - leg[0][0]
+        dt = leg[-1][1] - leg[0][1]
+        step_ms = dt / max(ds, 1) * 1e3
+    else:
+        step_ms = float('nan')
+    audio_rate = args.batch * args.utt_seconds / (step_ms / 1e3)
+    nan_skips = sum(1 for _, l, _ in steps if not np.isfinite(l))
+    result = {
+        'steps': int(losses[-1, 0]), 'batch': args.batch,
+        'loss_first': round(first, 3), 'loss_mid': round(mid, 3),
+        'loss_final': round(last, 3),
+        'monotone_improving': bool(first > mid > last),
+        'sustained_step_ms': round(step_ms, 2),
+        'sustained_audio_s_per_s': round(audio_rate, 1),
+        'nan_skipped_loss_lines': nan_skips,
+        'killed_at_step': int(reached), 'resumed_from': int(ckpt),
+        'double_resume_bit_identical': True,
+        'checkpoints': ckpts,
+    }
+    out = os.path.join(REPO, 'SOAK_r04.json')
+    with open(out, 'w') as f:
+        json.dump(result, f, indent=2)
+    print('[soak] ' + json.dumps(result))
+    print(f'[soak] wrote {out}')
+
+
+if __name__ == '__main__':
+    main()

@@ -64,17 +64,14 @@ def device_op_events(trace_dir):
     events = []
     for plane in data.planes:
         pname = plane.name.lower()
-        if 'tpu' not in pname and 'device' not in pname \
-                and 'accelerator' not in pname:
-            continue
-        if 'steps' in pname or 'host' in pname:
+        if 'tpu' not in pname or 'host' in pname:
             continue
         for line in plane.lines:
-            lname = line.name.lower()
-            # XLA op lines carry the per-op activity; skip step/annotation
-            # lines so ops aren't double counted
-            if 'xla op' not in lname and 'ops' != lname \
-                    and not lname.startswith('xla'):
+            # ONLY the 'XLA Ops' line: it tiles the module time exactly.
+            # 'Steps'/'XLA Modules' are aggregates (double counting) and
+            # 'Async XLA Ops' durations overlap real compute (their sum
+            # exceeds wall time)
+            if line.name != 'XLA Ops':
                 continue
             for ev in line.events:
                 events.append((ev.name, ev.duration_ns / 1e3))

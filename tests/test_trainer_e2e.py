@@ -149,3 +149,33 @@ def test_load_model_only_checkpoint(flags_env):
     batch = next(iter(trainer.loader))
     m = trainer.run_step(batch)
     assert np.isfinite(float(m['loss']))
+
+
+def test_eval_beam_wer_flag(flags_env):
+    """--eval_beam_width > 0: evaluate() additionally reports beam-search
+    WER (last_beam_wer), the trainer-visible surface for the measured
+    beam-over-greedy accuracy win (tests/test_beam_gain.py; the reference
+    evaluates greedy only, cli/baseline.py:271-285)."""
+    from edgedict_tpu.data import Librispeech
+    from edgedict_tpu.trainer import Trainer, build_tokenizer
+
+    tok = build_tokenizer(FLAGS)
+    ds = Librispeech(flags_env, tok, audio_max_length=5)
+    FLAGS.name = 'beam-eval'
+    old = FLAGS.eval_beam_width
+    FLAGS.eval_beam_width = 2
+    try:
+        trainer = Trainer(FLAGS, train_datasets=[ds], eval_dataset=ds)
+        assert trainer.beam_eval_step is not None
+        loss, greedy_wer = trainer.evaluate(max_batches=1)
+        assert np.isfinite(loss)
+        assert trainer.last_beam_wer is not None
+        assert 0.0 <= trainer.last_beam_wer <= 2.0
+        # flag off -> no beam pass, no beam WER
+        FLAGS.eval_beam_width = 0
+        trainer2 = Trainer(FLAGS, train_datasets=[ds], eval_dataset=ds)
+        assert trainer2.beam_eval_step is None
+        trainer2.evaluate(max_batches=1)
+        assert trainer2.last_beam_wer is None
+    finally:
+        FLAGS.eval_beam_width = old
