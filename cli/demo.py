@@ -23,19 +23,9 @@ def main(argv):
     del argv
     from edgedict_tpu.config import enable_compilation_cache
     enable_compilation_cache()
-    from edgedict_tpu.export import ExportedStreamDecoder
-    from edgedict_tpu.features import FeatureConfig, FeaturePipeline
-    from edgedict_tpu.stream import stream_chunk_geometry
-    from edgedict_tpu.trainer import build_tokenizer
-
-    tokenizer = build_tokenizer(FLAGS)
-    feature_cfg = FeatureConfig.from_flags(FLAGS, pad_to_divisible=False)
-    pipeline = FeaturePipeline(feature_cfg)
-    export_dir = os.path.join(FLAGS.logdir_root, FLAGS.name, 'export')
-    decoder = ExportedStreamDecoder(export_dir, pipeline, tokenizer)
-    win, hop = stream_chunk_geometry(
-        FLAGS.win_length, FLAGS.hop_length, FLAGS.downsample,
-        decoder.meta['step_frames'])
+    from edgedict_tpu.export import build_exported_decoder
+    decoder = build_exported_decoder(FLAGS)
+    win, hop = decoder.win_size, decoder.hop_size
 
     if FLAGS.path:
         from edgedict_tpu.data import load_audio

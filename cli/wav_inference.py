@@ -87,18 +87,8 @@ def main(argv):
             print('[jit per-stage ms] ' + '  '.join(
                 f'{k} {v:.3f}' for k, v in stages.items()))
     if 'exported' in backends:
-        from edgedict_tpu.export import ExportedStreamDecoder
-        from edgedict_tpu.features import FeatureConfig, FeaturePipeline
-        from edgedict_tpu.stream import stream_chunk_geometry
-        feature_cfg = FeatureConfig.from_flags(FLAGS,
-                                               pad_to_divisible=False)
-        pipeline = FeaturePipeline(feature_cfg)
-        export_dir = os.path.join(FLAGS.logdir_root, FLAGS.name, 'export')
-        dec = ExportedStreamDecoder(export_dir, pipeline, tokenizer)
-        dec.win_size, dec.hop_size = stream_chunk_geometry(
-            FLAGS.win_length, FLAGS.hop_length, FLAGS.downsample,
-            dec.meta['step_frames'])
-        dec.reset_profile()
+        from edgedict_tpu.export import build_exported_decoder
+        dec = build_exported_decoder(FLAGS)
         run_backend('exported', dec, utts, tokenizer)
 
 

@@ -116,10 +116,24 @@ def main(argv):
     decoder = build_stream_decoder(FLAGS)
 
     if FLAGS.wav:
+        # offline A/B of the live and exported backends on one file
+        # (reference youtube_live.py:45-62 compares Pytorch vs OpenVINO)
+        import os
+
         from edgedict_tpu.data import load_audio
         audio, sr = load_audio(FLAGS.wav)
         assert sr == 16000
         print('[jit]', decoder.decode_wav(audio))
+        export_dir = os.path.join(FLAGS.logdir_root, FLAGS.name, 'export')
+        if os.path.isdir(export_dir):
+            from edgedict_tpu.export import build_exported_decoder
+            exp = build_exported_decoder(FLAGS, export_dir)
+            n = max((len(audio) - exp.win_size) // exp.hop_size + 1, 0)
+            text = ''.join(
+                exp.decode(audio[i * exp.hop_size:
+                                 i * exp.hop_size + exp.win_size])
+                for i in range(n))
+            print('[exported]', text)
         return
 
     assert FLAGS.url, 'pass --url or --wav'

@@ -105,6 +105,27 @@ def export_transducer(params, cfg: T.TransducerConfig, out_dir,
     return out_dir
 
 
+def build_exported_decoder(FLAGS, export_dir=None):
+    """ExportedStreamDecoder from the flag/logdir contract, with the chunk
+    geometry attached (win_size/hop_size) — shared by cli.demo,
+    cli.youtube_live --wav and cli.wav_inference (flag-free module so CLI
+    cross-imports don't collide absl flag registrations)."""
+    from edgedict_tpu.features import FeatureConfig, FeaturePipeline
+    from edgedict_tpu.stream import stream_chunk_geometry
+    from edgedict_tpu.trainer import build_tokenizer
+
+    tokenizer = build_tokenizer(FLAGS)
+    feature_cfg = FeatureConfig.from_flags(FLAGS, pad_to_divisible=False)
+    pipeline = FeaturePipeline(feature_cfg)
+    export_dir = export_dir or os.path.join(FLAGS.logdir_root, FLAGS.name,
+                                            'export')
+    decoder = ExportedStreamDecoder(export_dir, pipeline, tokenizer)
+    decoder.win_size, decoder.hop_size = stream_chunk_geometry(
+        FLAGS.win_length, FLAGS.hop_length, FLAGS.downsample,
+        decoder.meta['step_frames'])
+    return decoder
+
+
 class ExportedStreamDecoder:
     """Streaming decoder over serialized artifacts (the
     OpenVINOStreamDecoder role, rnnt/stream.py:123-223): same decode(frame)

@@ -169,7 +169,11 @@ def main():
     steps_per_epoch = args.utts // args.batch
     total_epochs = -(-args.steps // steps_per_epoch)
     kill_at = int(args.steps * args.kill_frac)
-    env = dict(os.environ, PYTHONPATH=REPO)
+    # APPEND to PYTHONPATH: the ambient value can carry the host's TPU
+    # plugin loader (sitecustomize) — overwriting it silently demotes
+    # children to CPU-only backends
+    env = dict(os.environ)
+    env['PYTHONPATH'] = REPO + os.pathsep + env.get('PYTHONPATH', '')
 
     # ---- phase 1+2: fresh train, SIGKILL mid-run ----------------------
     print(f'[soak] training to {args.steps} steps '

@@ -98,3 +98,13 @@ def test_wav_inference_jit_and_exported_backends(tmp_path):
     assert m, out
     for stage in ('featurize', 'encoder', 'joint', 'decoder'):
         assert stage in m.group(1)
+
+    # cli.youtube_live --wav: the offline jit-vs-exported A/B (reference
+    # youtube_live.py:45-62) over the same export artifacts
+    wav = os.path.join(corpus, '9', '9', '9-9-0000.wav')
+    r3 = subprocess.run(
+        [sys.executable, '-m', 'cli.youtube_live', '--wav', wav] + common,
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=600)
+    assert r3.returncode == 0, r3.stderr[-3000:]
+    assert '[jit]' in r3.stdout
+    assert '[exported]' in r3.stdout
