@@ -34,6 +34,21 @@ Use `make_train_step_pp` for a full train step over a mesh built by
 tests/test_pipeline.py.  v1 limitation: in-encoder dropout is not
 pipelined (the bundled presets train with enc_dropout=0; a nonzero value
 raises rather than silently differing).
+
+Expected overhead (analytic — single-chip rounds cannot measure it):
+the GPipe schedule runs M + pp - 1 ticks for M microbatches, so the
+pipeline-phase bubble fraction is (pp - 1) / (M + pp - 1) in each of
+forward and backward — e.g. pp=4, M=8 → 27% of the ENCODER phase idle,
+pp=4, M=32 → 8.6%.  The joint+loss phase (the FLOPs-dominant ~60% of
+the E6D2 step, VALIDATION.md §3c) resharding over ('pp','dp') means the
+bubble applies only to the encoder share, so the step-level overhead is
+roughly 0.4 · (pp-1)/(M+pp-1) plus two ICI reshards of the (M,B,T',H)
+activations.  A multi-chip round should verify: (a) measured step time ≈
+dp-only time · (1 + that bound); (b) raising M amortizes the bubble at
+the cost of smaller per-tick matmuls (microbatch B/M must stay ≥ the
+MXU-saturating batch, ~32/stage per §3c's ladder); (c) the restack
+all-to-all and ppermute hops ride ICI, not DCN (profile: no host
+transfers inside the scan).
 """
 
 import jax
