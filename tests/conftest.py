@@ -38,3 +38,18 @@ jax.config.update('jax_compilation_cache_dir',
 jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.1)
 assert jax.devices()[0].platform == 'cpu'
 assert jax.device_count() == 8, jax.devices()
+
+# build the native C++ libraries once per machine if any is missing —
+# a fresh checkout otherwise fails the tests that exercise them (e.g.
+# test_preprocess's native-FLAC fallback) before anyone runs `make`.
+_NATIVE = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), 'native')
+if os.path.isfile(os.path.join(_NATIVE, 'Makefile')):
+    import glob as _glob
+    _srcs = _glob.glob(os.path.join(_NATIVE, '*.cpp'))
+    _missing = [s for s in _srcs if not os.path.isfile(
+        os.path.join(_NATIVE, 'lib' + os.path.basename(s)[:-4] + '.so'))]
+    if _missing:
+        import subprocess as _sp
+        _sp.run(['make', '-C', _NATIVE, '-j4'], check=False,
+                stdout=_sp.DEVNULL, stderr=_sp.DEVNULL)
