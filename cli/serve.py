@@ -47,7 +47,7 @@ def build_server(FLAGS):
     from edgedict_tpu.serving import StreamServer
     from edgedict_tpu.stream import MultiStreamBeamDecoder, MultiStreamDecoder
 
-    params, cfg, feature_cfg, tokenizer, compute_dtype = \
+    params, cfg, feature_cfg, tokenizer, compute_dtype, quantize = \
         load_inference_bundle(FLAGS)
     mesh = None
     if FLAGS.serve_dp_size > 1:
@@ -73,12 +73,12 @@ def build_server(FLAGS):
             max_sym_per_frame=getattr(FLAGS, 'max_sym_per_frame', 3),
             merge_prefixes=getattr(FLAGS, 'merge_prefixes', True),
             lm=load_lm_fusion(FLAGS),
-            mesh=mesh, compute_dtype=compute_dtype)
+            mesh=mesh, compute_dtype=compute_dtype, quantize=quantize)
     else:
         dec = MultiStreamDecoder(
             params, cfg, feature_cfg, tokenizer,
             n_streams=FLAGS.n_streams, step_n_frame=FLAGS.step_n_frame,
-            mesh=mesh, compute_dtype=compute_dtype)
+            mesh=mesh, compute_dtype=compute_dtype, quantize=quantize)
     timeout = (FLAGS.round_timeout_ms / 1e3
                if FLAGS.round_timeout_ms > 0 else None)
     return StreamServer(dec, host=FLAGS.serve_host, port=FLAGS.port,

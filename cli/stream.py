@@ -44,12 +44,19 @@ flags.DEFINE_integer('block_chunks', 1,
                      '>1 decodes N chunks per device dispatch (layer-major '
                      'block mode: same output, ~1.6x the throughput at '
                      'N*75 ms extra latency; used by --path one-shot mode)')
+flags.DEFINE_string('quantize', '',
+                    "'int8' = weight-only int8 encoder (per-channel "
+                    'symmetric scales, in-kernel dequant — halves the '
+                    'serving weight footprint at equal latency and '
+                    'token-exact-vs-fp32 accuracy; ops/quant.py). '
+                    'Empty = serve at --infer_dtype precision.')
 
 
 def load_inference_bundle(FLAGS):
     """Tokenizer + configs + checkpoint params + compute dtype from flags —
     shared by cli.stream and cli.serve.
-    Returns (params, cfg, feature_cfg, tokenizer, compute_dtype)."""
+    Returns (params, cfg, feature_cfg, tokenizer, compute_dtype,
+    quantize)."""
     import jax
     from edgedict_tpu.checkpoint import (
         checkpoint_path, latest_step, load_checkpoint)
@@ -84,7 +91,8 @@ def load_inference_bundle(FLAGS):
         print('WARNING: no checkpoint found — using random weights')
     compute_dtype = resolve_infer_dtype(getattr(FLAGS, 'infer_dtype',
                                                 'auto'))
-    return params, cfg, feature_cfg, tokenizer, compute_dtype
+    quantize = getattr(FLAGS, 'quantize', '') or None
+    return params, cfg, feature_cfg, tokenizer, compute_dtype, quantize
 
 
 def load_lm_fusion(FLAGS):
@@ -102,7 +110,7 @@ def load_lm_fusion(FLAGS):
 def build_stream_decoder(FLAGS):
     from edgedict_tpu.stream import StreamingDecoder
 
-    params, cfg, feature_cfg, tokenizer, compute_dtype = \
+    params, cfg, feature_cfg, tokenizer, compute_dtype, quantize = \
         load_inference_bundle(FLAGS)
     if getattr(FLAGS, 'beam_width', 1) > 1:
         from edgedict_tpu.stream import StreamingBeamDecoder
@@ -114,11 +122,11 @@ def build_stream_decoder(FLAGS):
             merge_prefixes=getattr(FLAGS, 'merge_prefixes', True),
             block_chunks=getattr(FLAGS, 'block_chunks', 1),
             lm=load_lm_fusion(FLAGS),
-            compute_dtype=compute_dtype)
+            compute_dtype=compute_dtype, quantize=quantize)
     return StreamingDecoder(params, cfg, feature_cfg, tokenizer,
                             step_n_frame=FLAGS.step_n_frame,
                             block_chunks=getattr(FLAGS, 'block_chunks', 1),
-                            compute_dtype=compute_dtype)
+                            compute_dtype=compute_dtype, quantize=quantize)
 
 
 def resolve_infer_dtype(name):

@@ -20,6 +20,9 @@ def linear_init(key, in_size, out_size):
 
 
 def linear(params, x):
+    if 'w_q' in params:      # int8 serving projection (ops/quant.py)
+        from edgedict_tpu.ops import quant
+        return quant.quant_linear(params, x)
     dtype = x.dtype
     y = jax.lax.dot_general(
         x, params['w'].astype(dtype),

@@ -221,8 +221,15 @@ def lstm_layer_tm(params, xs, state):
     On TPU with tile-aligned shapes dispatches to the Pallas recurrence
     kernel (ops/rnn_pallas.py — measured 1.8× the scan on fwd+bwd at
     encoder scale), per-shard under shard_map when a mesh_context is
-    active; otherwise the lax.scan path below."""
+    active; otherwise the lax.scan path below.
+
+    Params carrying int8 leaves ('w_hh_q' — built by
+    stream.prepare_inference_params(quantize='int8')) dispatch to the
+    weight-only-quantized serving kernels (ops/quant.py)."""
     h0, c0 = state
+    if 'w_hh_q' in params:
+        from edgedict_tpu.ops import quant
+        return quant.lstm_layer_tm_q(params, xs, state)
     if _pallas_eligible(xs, h0.shape[-1], time_major=True):
         return _route_pallas('lstm_layer_tm', params, xs, state)
     pad = _pallas_batch_pad(xs, h0.shape[-1], time_major=True)

@@ -68,7 +68,7 @@ def cast_floating(tree, dtype):
         if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating) else x, tree)
 
 
-def prepare_inference_params(tree, dtype=None):
+def prepare_inference_params(tree, dtype=None, quantize=None):
     """Inference-time parameter transform applied once at decoder
     construction: optionally cast floating leaves to `dtype` (bf16 decode)
     and cache a transposed copy of every recurrence matrix as a sibling
@@ -88,7 +88,14 @@ def prepare_inference_params(tree, dtype=None):
     decisions dtype-exact: Mosaic-vs-XLA fp32 accumulation-order drift is
     measured never to flip an argmax (scripts/verify_decode_tpu, round 3),
     where bf16 logits flipped ~2% of streamed tokens at rounding-boundary
-    near-ties."""
+    near-ties.
+
+    quantize='int8' additionally rewrites the ENCODER subtree to
+    weight-only int8 (ops/quant.py: per-output-channel symmetric scales,
+    in-kernel dequantization) — halving the serving weight footprint on
+    top of bf16 at measured-equal latency and token-exact-vs-fp32
+    accuracy (VALIDATION.md §3e).  The joint/prediction-net fp32 policy
+    above is unchanged; LSTM encoders only."""
     if isinstance(tree, dict):
         decode_tail = 'joint' in tree and 'decoder' in tree
         out = {k: prepare_inference_params(
@@ -98,10 +105,19 @@ def prepare_inference_params(tree, dtype=None):
         if 'w_hh' in out:
             out['w_hh_t'] = jnp.swapaxes(out['w_hh'], 0, 1)
         if decode_tail:
+            if quantize is not None:
+                if quantize != 'int8':
+                    raise ValueError(f'unknown quantize mode {quantize!r};'
+                                     " expected 'int8'")
+                from edgedict_tpu.ops import quant
+                out['encoder'] = quant.quantize_encoder(out['encoder'])
             # kernel-layout weight views for the fused greedy frame-loop
             # kernel (ops/decode_pallas.py) — built once, not checkpointed
             from edgedict_tpu.ops import decode_pallas
             out['_decode'] = decode_pallas.build_decode_cache(out)
+        elif quantize is not None:
+            raise ValueError('quantize= requires a full transducer param '
+                             'tree (encoder/decoder/joint)')
         return out
     if isinstance(tree, (list, tuple)):
         return type(tree)(prepare_inference_params(v, dtype) for v in tree)
@@ -298,11 +314,12 @@ class StreamingBeamDecoder:
     def __init__(self, params, cfg, feature_cfg: FeatureConfig, tokenizer,
                  step_n_frame=2, beam_width=4, max_sym_per_frame=3,
                  max_tokens=200, lm=None, merge_prefixes=True,
-                 block_chunks=1, compute_dtype=None):
+                 block_chunks=1, compute_dtype=None, quantize=None):
         assert not feature_cfg.pad_to_divisible
         from edgedict_tpu.models.beam_search import (
             best_hypothesis, make_beam_machinery)
-        params = prepare_inference_params(params, compute_dtype)
+        params = prepare_inference_params(params, compute_dtype,
+                                          quantize=quantize)
         if lm is not None:       # (lm_params, lm_cfg, lm_weight)
             lm = (prepare_inference_params(lm[0], compute_dtype),) \
                 + tuple(lm[1:])
@@ -433,11 +450,12 @@ class MultiStreamBeamDecoder:
                  n_streams, step_n_frame=2, beam_width=4,
                  max_sym_per_frame=3, max_tokens=200, lm=None,
                  merge_prefixes=True, mesh=None, batch_axis='dp',
-                 compute_dtype=None):
+                 compute_dtype=None, quantize=None):
         assert not feature_cfg.pad_to_divisible
         from edgedict_tpu.models.beam_search import (
             best_hypothesis, make_beam_machinery)
-        params = prepare_inference_params(params, compute_dtype)
+        params = prepare_inference_params(params, compute_dtype,
+                                          quantize=quantize)
         if lm is not None:       # (lm_params, lm_cfg, lm_weight)
             lm = (prepare_inference_params(lm[0], compute_dtype),) \
                 + tuple(lm[1:])
@@ -570,9 +588,10 @@ class MultiStreamDecoder:
 
     def __init__(self, params, cfg, feature_cfg: FeatureConfig, tokenizer,
                  n_streams, step_n_frame=2, mesh=None, batch_axis='dp',
-                 compute_dtype=None):
+                 compute_dtype=None, quantize=None):
         assert not feature_cfg.pad_to_divisible
-        params = prepare_inference_params(params, compute_dtype)
+        params = prepare_inference_params(params, compute_dtype,
+                                          quantize=quantize)
         self.params = params
         self.cfg = cfg
         self.tokenizer = tokenizer
@@ -651,10 +670,11 @@ class StreamingDecoder:
 
     def __init__(self, params, cfg, feature_cfg: FeatureConfig, tokenizer,
                  step_n_frame=2, reset_step=None, block_chunks=1,
-                 compute_dtype=None):
+                 compute_dtype=None, quantize=None):
         assert not feature_cfg.pad_to_divisible, \
             'streaming uses pad_to_divisible=False (rnnt/stream.py:38-44)'
-        params = prepare_inference_params(params, compute_dtype)
+        params = prepare_inference_params(params, compute_dtype,
+                                          quantize=quantize)
         self.params = params
         self.cfg = cfg
         self.tokenizer = tokenizer

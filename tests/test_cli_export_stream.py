@@ -64,3 +64,11 @@ def test_cli_export_then_stream(tmp_path):
         [sys.executable, '-m', 'cli.demo', '--path', wav] + common,
         cwd=REPO, env=env, capture_output=True, text=True, timeout=600)
     assert r3.returncode == 0, r3.stderr[-3000:]
+
+    # int8 weight-only serving through the same CLI (ops/quant.py route)
+    r4 = subprocess.run(
+        [sys.executable, '-m', 'cli.stream', '--path', wav,
+         '--quantize', 'int8'] + common,
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=600)
+    assert r4.returncode == 0, r4.stderr[-3000:]
+    assert 'throughput' in r4.stdout
