@@ -46,9 +46,9 @@ and `ops/layers.py:linear` detect those leaves and dispatch here.  Off
 TPU (unless EDGEDICT_QUANT_KERNELS=force puts the kernels in interpret
 mode), under an active >1-shard mesh context, or on odd geometry, the
 math falls back to dequantize-then-delegate into the normal unquantized
-route — same numerics class, no kernel requirements.  GRU encoders are
-rejected at quantization time (NotImplementedError): the GRU serving
-path stays bf16.
+route — same numerics class, no kernel requirements.  Both encoder cell
+types are covered: LSTM (4H gates) and GRU (3H gates, torch r/z/n
+semantics with b_hh inside the reset gate).
 """
 
 import functools
@@ -104,24 +104,18 @@ def _pad_rows_to(x, mult):
 def quantize_encoder(enc):
     """Rewrite a prepared encoder param subtree to int8 leaves.
 
-    Per layer: W_hh as (H, 4H) int8 + per-column scale; W_ih transposed
-    to kernel layout (in, 4H), int8, rows zero-padded to the int8 sublane
-    tile (32) — callers zero-pad the activations to match, and zero rows
-    contribute nothing.  Biases and LayerNorms pass through in the
-    serving dtype.  The final projection becomes {'w_q' (H, P) int8,
-    'scale' (1, P), 'b'} picked up by ops/layers.py:linear.  The fp/bf16
-    W_ih/W_hh/w_hh_t leaves are DROPPED — keeping them would defeat the
-    purpose (the prepared tree is the per-dispatch HBM working set).
-
-    Raises NotImplementedError for GRU stacks (3H gate rows)."""
+    Per layer: W_hh as (H, nH) int8 + per-column scale (n = 4 LSTM /
+    3 GRU); W_ih transposed to kernel layout (in, nH), int8, rows
+    zero-padded to the int8 sublane tile (32) — callers zero-pad the
+    activations to match, and zero rows contribute nothing.  Biases and
+    LayerNorms pass through in the serving dtype.  The final projection
+    becomes {'w_q' (H, P) int8, 'scale' (1, P), 'b'} picked up by
+    ops/layers.py:linear.  The fp/bf16 W_ih/W_hh/w_hh_t leaves are
+    DROPPED — keeping them would defeat the purpose (the prepared tree
+    is the per-dispatch HBM working set)."""
     layers = []
     for lp in enc['layers']:
         rnn = lp['rnn']
-        h = rnn['w_hh'].shape[1]
-        if rnn['w_hh'].shape[0] != 4 * h:
-            raise NotImplementedError(
-                'int8 serving supports LSTM encoders only; GRU encoders '
-                'serve bf16 (omit quantize=)')
         w_hh_q, w_hh_scale = quantize_int8(jnp.swapaxes(rnn['w_hh'], 0, 1))
         w_ih_q, w_ih_scale = quantize_int8(jnp.swapaxes(rnn['w_ih'], 0, 1))
         layers.append({
@@ -316,6 +310,97 @@ def _run_fwd_q(x_proj, w_hh_q, w_hh_scale, h0, c0):
         interpret=_interpret(),
     )(x_proj, w_hh_q, w_hh_scale, h0, c0)
     return ys, cs
+
+
+# ---------------------------------------------------------------------------
+# int8-weight GRU recurrence kernel (torch gate semantics r, z, n)
+# ---------------------------------------------------------------------------
+
+def _gru_fwd_kernel_q(xp_ref, wq_ref, s_ref, bhh_ref, h0_ref,
+                      ys_ref, h_s, w_s, *, k):
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _():
+        h_s[:, :] = h0_ref[:, :]
+        w_s[:, :] = (wq_ref[:, :].astype(jnp.float32)
+                     * s_ref[0:1, :]).astype(w_s.dtype)
+
+    h = h_s[:, :]
+    hdim = h.shape[-1]
+    for j in range(k):
+        h_proj = jnp.dot(h.astype(w_s.dtype), w_s[:, :],
+                         preferred_element_type=jnp.float32) + bhh_ref[0]
+        xp = xp_ref[j].astype(jnp.float32)
+        r = jax.nn.sigmoid(xp[:, :hdim] + h_proj[:, :hdim])
+        z = jax.nn.sigmoid(xp[:, hdim:2 * hdim] + h_proj[:, hdim:2 * hdim])
+        n = jnp.tanh(xp[:, 2 * hdim:] + r * h_proj[:, 2 * hdim:])
+        h = (1.0 - z) * n + z * h
+        ys_ref[j] = h.astype(ys_ref.dtype)
+    h_s[:, :] = h
+
+
+def _gru_run_fwd_q(x_proj, w_hh_q, w_hh_scale, b_hh, h0):
+    """Mirror of ops/rnn_pallas.py:_gru_run_fwd with int8 HBM-side
+    recurrence weights (x_proj carries b_ih only; b_hh joins h_proj per
+    step inside the reset gate — torch GRU semantics)."""
+    T, B, H3 = x_proj.shape
+    H = H3 // 3
+    k = _block_len(T)
+    tp = -(-T // k) * k
+    x_proj = _pad_t(x_proj, tp)
+    ys = pl.pallas_call(
+        functools.partial(_gru_fwd_kernel_q, k=k),
+        grid=(tp // k,),
+        in_specs=[
+            pl.BlockSpec((k, B, H3), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, H3), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H3), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H3), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, H), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((k, B, H), lambda t: (t, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((tp, B, H), x_proj.dtype),
+        scratch_shapes=[pltpu.VMEM((B, H), jnp.float32),
+                        pltpu.VMEM((H, H3), x_proj.dtype)],
+        compiler_params=_compiler_params(),
+        interpret=_interpret(),
+    )(x_proj, w_hh_q, w_hh_scale, b_hh[None], h0)
+    return ys
+
+
+def gru_layer_tm_q(params, xs, state):
+    """Quantized time-major GRU layer: xs (T, B, in) → (ys (T, B, H), hT);
+    inference only.  Dispatched to by ops/rnn.py:gru_layer_tm on int8
+    param leaves."""
+    h0 = state
+    dtype = xs.dtype
+    t, b, in_size = xs.shape
+    h = h0.shape[-1]
+    if not _kernels_on() or _sharded_trace() or h % 128:
+        return rnn_ops.gru_layer_tm(
+            _dequant_rnn_params(params, in_size), xs, state)
+
+    bias2d = params['b_ih'].astype(jnp.float32)[None, :]
+    x_proj = _mm(xs.reshape(t * b, in_size), params['w_ih_q'],
+                 params['w_ih_scale'], bias2d).reshape(t, b, 3 * h)
+    pad = -b % 8
+    if pad:
+        x_proj = jnp.pad(x_proj, ((0, 0), (0, pad), (0, 0)))
+        h0 = jnp.pad(h0, ((0, pad), (0, 0)))
+    ys = _gru_run_fwd_q(x_proj, params['w_hh_q'], params['w_hh_scale'],
+                        params['b_hh'].astype(jnp.float32),
+                        h0.astype(jnp.float32))
+    ys, hT = ys[:t], ys[t - 1]
+    if pad:
+        ys, hT = ys[:, :b], hT[:b]
+    return ys.astype(dtype), hT.astype(state.dtype)
 
 
 def _dequant_rnn_params(params, in_size):

@@ -266,8 +266,13 @@ def lstm_layer_tm(params, xs, state):
 
 
 def gru_layer_tm(params, xs, state):
-    """Time-major single-layer GRU: xs (T, B, in) → (ys (T, B, H), h)."""
+    """Time-major single-layer GRU: xs (T, B, in) → (ys (T, B, H), h).
+    Int8 param leaves dispatch to the quantized serving path
+    (ops/quant.py), as in lstm_layer_tm."""
     h0 = state
+    if 'w_hh_q' in params:
+        from edgedict_tpu.ops import quant
+        return quant.gru_layer_tm_q(params, xs, state)
     if _pallas_eligible(xs, h0.shape[-1], env='EDGEDICT_PALLAS_GRU',
                         time_major=True):
         return _route_pallas('gru_layer_tm', params, xs, state)

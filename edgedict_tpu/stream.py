@@ -95,7 +95,7 @@ def prepare_inference_params(tree, dtype=None, quantize=None):
     in-kernel dequantization) — halving the serving weight footprint on
     top of bf16 at measured-equal latency and token-exact-vs-fp32
     accuracy (VALIDATION.md §3e).  The joint/prediction-net fp32 policy
-    above is unchanged; LSTM encoders only."""
+    above is unchanged; LSTM and GRU encoders both supported."""
     if isinstance(tree, dict):
         decode_tail = 'joint' in tree and 'decoder' in tree
         out = {k: prepare_inference_params(

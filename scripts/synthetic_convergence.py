@@ -110,13 +110,15 @@ class ToyCorpus:
 
 def run(steps=400, enc_type='LSTM', logdir='/tmp/edgedict_synth',
         tokenizer='char', beam=0, lm_fusion=0.0, language='easy',
-        noise=0.02, train_n=256, eval_n=48, lr=3e-3, beam_msf=4):
+        noise=0.02, train_n=256, eval_n=48, lr=3e-3, beam_msf=4,
+        quant_ab=False):
     """Train on the toy language, return {'greedy', 'beam', 'beam_lm'}
     held-out WERs (the latter two only when beam > 0 / lm_fusion > 0)."""
     args = argparse.Namespace(
         steps=steps, enc_type=enc_type, logdir=logdir, tokenizer=tokenizer,
         beam=beam, lm_fusion=lm_fusion, language=language, noise=noise,
-        train_n=train_n, eval_n=eval_n, lr=lr, beam_msf=beam_msf)
+        train_n=train_n, eval_n=eval_n, lr=lr, beam_msf=beam_msf,
+        quant_ab=quant_ab)
     from edgedict_tpu.config import FLAGS, ensure_parsed
     ensure_parsed(['synth'])
     FLAGS.name = 'synth'
@@ -250,6 +252,47 @@ def run(steps=400, enc_type='LSTM', logdir='/tmp/edgedict_synth',
             result['beam_lm'] = beam_wer(lm)
             print(f'FINAL held-out (beam W={args.beam} + LM fusion '
                   f'{args.lm_fusion}): WER {result["beam_lm"]:.4f}')
+
+    if getattr(args, 'quant_ab', False):
+        # serving-precision WER A/B on the TRAINED weights: fp32 / bf16 /
+        # int8 weight-only (ops/quant.py) through offline greedy decode
+        # over prepared inference params — the accuracy half of the int8
+        # serving evidence (VALIDATION.md §3e; random-weight token
+        # agreement lives in scripts/verify_quant_tpu.py)
+        import jax
+        import jax.numpy as jnp
+        from edgedict_tpu.metrics import wer as wer_fn
+        from edgedict_tpu.models.decoding import (
+            transducer_greedy_decode, truncate_and_strip)
+        from edgedict_tpu.stream import prepare_inference_params
+
+        def serving_wer(dtype, quantize):
+            prepared = prepare_inference_params(
+                trainer.state.params, dtype, quantize=quantize)
+            refs, hyps = [], []
+            for batch in trainer.eval_loader:
+                xs, xlen = trainer.pipeline(
+                    jnp.asarray(batch['audio']), jnp.asarray(batch['alen']))
+                if dtype is not None:
+                    xs = xs.astype(dtype)
+                y_seq, out_len, _ = transducer_greedy_decode(
+                    prepared, trainer.cfg, xs, xlen)
+                seqs = truncate_and_strip(np.asarray(y_seq),
+                                          np.asarray(out_len),
+                                          blank=trainer.cfg.blank)
+                hyps.extend(tok.decode([int(t) for t in s]) for s in seqs)
+                refs.extend(tok.decode(
+                    [int(t) for t in y[:n]]) for y, n in
+                    zip(np.asarray(batch['ys']), np.asarray(batch['ylen'])))
+            return wer_fn(refs, hyps)
+
+        for name, (dtype, q) in {
+                'fp32': (None, None),
+                'bf16': (jnp.bfloat16, None),
+                'int8': (jnp.bfloat16, 'int8')}.items():
+            result[f'serve_{name}'] = serving_wer(dtype, q)
+            print(f'SERVING A/B held-out greedy WER [{name}]: '
+                  f'{result[f"serve_{name}"]:.4f}')
     return result
 
 
@@ -273,6 +316,9 @@ def main():
     ap.add_argument('--train_n', type=int, default=256)
     ap.add_argument('--eval_n', type=int, default=48)
     ap.add_argument('--lr', type=float, default=3e-3)
+    ap.add_argument('--quant_ab', action='store_true',
+                    help='after training, A/B held-out greedy WER across '
+                         'fp32 / bf16 / int8 weight-only serving')
     ap.add_argument('--beam_msf', type=int, default=4,
                     help='beam label-expansion budget per frame (must '
                          'cover the model alignment burst length)')

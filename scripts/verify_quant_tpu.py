@@ -98,6 +98,17 @@ def main():
     assert np.isfinite(np.asarray(ys, np.float32)).all()
     print('leg1 compile+route: OK (encoder_apply through int8 kernels)')
 
+    # GRU variant: Mosaic-compiles and runs at the same scale
+    import dataclasses
+    gcfg = dataclasses.replace(CFG, module_type='GRU')
+    gparams = T.transducer_init(jax.random.PRNGKey(2), gcfg)
+    gtree = stream.prepare_inference_params(gparams, jnp.bfloat16,
+                                            quantize='int8')
+    gys, _ = jax.jit(lambda p, x: T.encoder_apply(p, gcfg, x))(
+        gtree['encoder'], xs)
+    assert np.isfinite(np.asarray(gys, np.float32)).all()
+    print('leg1b compile+route: OK (GRU int8 kernels)')
+
     # --- leg 2: streamed token agreement
     rng = np.random.RandomState(1)
     audio = (rng.randn(16000 * 30) * 0.1).astype(np.float32)

@@ -159,6 +159,38 @@ def test_streaming_decoder_int8_matches_fallback_tokens(monkeypatch):
     assert out_k == out_f
 
 
+def test_streaming_beam_decoder_int8_matches_fallback(monkeypatch):
+    """Beam search over an int8 encoder: kernel route == dequant fallback
+    (the beam machinery consumes encoder frames; the int8 route must not
+    perturb its hypotheses relative to the same quantized weights)."""
+    from edgedict_tpu.stream import StreamingBeamDecoder
+    feature_cfg = FeatureConfig(
+        feature_type='logfbank', feature_size=3, n_fft=64, win_length=40,
+        hop_length=20, downsample=3, pad_to_divisible=False)
+    params = T.transducer_init(jax.random.PRNGKey(11), KCFG)
+    rng = np.random.RandomState(1)
+    audio = rng.randn(4 * 120).astype(np.float32) * 0.5
+
+    def decode_all(dec):
+        out = []
+        for i in range(2):
+            chunk = audio[i * dec.hop_size:i * dec.hop_size + dec.win_size]
+            out.append(dec.decode(chunk))
+        return out
+
+    monkeypatch.setenv('EDGEDICT_QUANT_KERNELS', 'force')
+    with rnn_ops.shard_local_context():
+        dec_k = StreamingBeamDecoder(params, KCFG, feature_cfg, _Tok(),
+                                     step_n_frame=2, beam_width=2,
+                                     max_tokens=16, quantize='int8')
+        out_k = decode_all(dec_k)
+    monkeypatch.setenv('EDGEDICT_QUANT_KERNELS', '0')
+    dec_f = StreamingBeamDecoder(params, KCFG, feature_cfg, _Tok(),
+                                 step_n_frame=2, beam_width=2,
+                                 max_tokens=16, quantize='int8')
+    assert out_k == decode_all(dec_f)
+
+
 def test_multistream_sharded_int8_matches_unsharded():
     """int8 serving under a dp-sharded mesh: the GSPMD trace takes the XLA
     dequant fallback (pallas_call is not partitionable) and matches the
@@ -185,12 +217,61 @@ def test_multistream_sharded_int8_matches_unsharded():
         assert sharded.decode(chunk) == plain.decode(chunk)
 
 
-def test_quantize_rejects_gru_and_unknown_modes():
+def test_gru_layer_q_kernel_matches_fallback(monkeypatch):
+    """Quantized GRU recurrence kernel (interpret) == the
+    dequantize-delegate fallback on the same int8 weights."""
+    h = 128
+    params = rnn_ops.gru_init(jax.random.PRNGKey(12), 24, h)
+    enc = {'norm': {'scale': jnp.ones(24), 'bias': jnp.zeros(24)},
+           'layers': [{'rnn': params,
+                       'ln': {'scale': jnp.ones(h), 'bias': jnp.zeros(h)}}],
+           'proj': {'w': jnp.eye(h), 'b': jnp.zeros(h)}}
+    qrnn = quant.quantize_encoder(enc)['layers'][0]['rnn']
+    xs = jax.random.normal(jax.random.PRNGKey(13), (6, 3, 24))
+    h0 = jnp.zeros((3, h))
+
+    monkeypatch.setenv('EDGEDICT_QUANT_KERNELS', 'force')
+    with rnn_ops.shard_local_context():
+        ys_k, h_k = quant.gru_layer_tm_q(qrnn, xs, h0)
+    monkeypatch.setenv('EDGEDICT_QUANT_KERNELS', '0')
+    ys_f, h_f = quant.gru_layer_tm_q(qrnn, xs, h0)
+    np.testing.assert_allclose(np.asarray(ys_k), np.asarray(ys_f),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(h_k), np.asarray(h_f),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_gru_streaming_decoder_int8(monkeypatch):
+    """End-to-end GRU encoder int8 serving: kernel route tokens == the
+    dequant fallback's (mirrors the LSTM decoder test)."""
     import dataclasses
-    gru_cfg = dataclasses.replace(CFG, module_type='GRU')
-    params = T.transducer_init(jax.random.PRNGKey(9), gru_cfg)
-    with pytest.raises(NotImplementedError):
-        prepare_inference_params(params, quantize='int8')
+    gcfg = dataclasses.replace(KCFG, module_type='GRU')
+    feature_cfg = FeatureConfig(
+        feature_type='logfbank', feature_size=3, n_fft=64, win_length=40,
+        hop_length=20, downsample=3, pad_to_divisible=False)
+    params = T.transducer_init(jax.random.PRNGKey(14), gcfg)
+    rng = np.random.RandomState(2)
+    audio = rng.randn(4 * 120).astype(np.float32) * 0.5
+
+    def decode_all(dec):
+        out = ''
+        for i in range(3):
+            chunk = audio[i * dec.hop_size:i * dec.hop_size + dec.win_size]
+            out += dec.decode(chunk)
+        return out
+
+    monkeypatch.setenv('EDGEDICT_QUANT_KERNELS', 'force')
+    with rnn_ops.shard_local_context():
+        dec_k = StreamingDecoder(params, gcfg, feature_cfg, _Tok(),
+                                 step_n_frame=2, quantize='int8')
+        out_k = decode_all(dec_k)
+    monkeypatch.setenv('EDGEDICT_QUANT_KERNELS', '0')
+    dec_f = StreamingDecoder(params, gcfg, feature_cfg, _Tok(),
+                             step_n_frame=2, quantize='int8')
+    assert out_k == decode_all(dec_f)
+
+
+def test_quantize_rejects_unknown_modes():
     params = T.transducer_init(jax.random.PRNGKey(10), CFG)
     with pytest.raises(ValueError):
         prepare_inference_params(params, quantize='int4')
