@@ -17,7 +17,11 @@ from absl import app, flags
 from edgedict_tpu.config import FLAGS
 
 flags.DEFINE_integer('n_samples', 50, 'utterances to benchmark')
-flags.DEFINE_string('backends', 'jit', 'comma list: jit,exported')
+flags.DEFINE_string('backends', 'jit',
+                    'comma list: jit,exported,int8 (int8 = the jit '
+                    'decoder with --quantize int8 weight-only serving, '
+                    'ops/quant.py — the A/B row for the quantized '
+                    'backend, as the reference table A/Bs OpenVINO)')
 flags.DEFINE_string('wav_dir', None,
                     'override: directory of wavs + .trans.txt '
                     '(default LibriSpeech_test)')
@@ -86,6 +90,14 @@ def main(argv):
             stages = dec.profile_components(utts[0][0])
             print('[jit per-stage ms] ' + '  '.join(
                 f'{k} {v:.3f}' for k, v in stages.items()))
+    if 'int8' in backends:
+        old = FLAGS.quantize
+        FLAGS.quantize = 'int8'
+        try:
+            dec = build_stream_decoder(FLAGS)
+        finally:
+            FLAGS.quantize = old
+        run_backend('int8', dec, utts, tokenizer)
     if 'exported' in backends:
         from edgedict_tpu.export import build_exported_decoder
         dec = build_exported_decoder(FLAGS)

@@ -71,7 +71,7 @@ def test_wav_inference_jit_and_exported_backends(tmp_path):
     r2 = subprocess.run(
         [sys.executable, '-m', 'cli.wav_inference',
          '--wav_dir', corpus, '--n_samples', '3',
-         '--backends', 'jit,exported', '--per_stage'] + common,
+         '--backends', 'jit,int8,exported', '--per_stage'] + common,
         cwd=REPO, env=env, capture_output=True, text=True, timeout=600)
     assert r2.returncode == 0, r2.stderr[-3000:]
     out = r2.stdout
@@ -79,7 +79,7 @@ def test_wav_inference_jit_and_exported_backends(tmp_path):
 
     # report fields per backend (reference openvino_wav_inference.py
     # :108-116,139-147: WER, throughput, per-chunk latency)
-    for backend in ('jit', 'exported'):
+    for backend in ('jit', 'int8', 'exported'):
         m = re.search(
             rf'\[{backend}\] WER (\d+\.\d+)  throughput (\d+\.\d+) '
             rf'sec/sec  mean chunk (\d+\.\d+) ms  \((\d+) utts, '
