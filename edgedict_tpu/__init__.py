@@ -15,4 +15,4 @@ Design (see SURVEY.md §7):
   * bf16 compute / fp32 params replaces apex AMP
 """
 
-__version__ = "0.4.0"
+__version__ = "0.5.0"

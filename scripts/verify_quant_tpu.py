@@ -135,6 +135,24 @@ def main():
     print(f'leg3 per-chunk device op time: bf16 {ms_bf:.3f} ms, '
           f'int8 {ms_q:.3f} ms ({ms_bf / ms_q:.2f}x)')
     assert ms_q < ms_bf * 1.05, 'int8 must not be slower than bf16'
+
+    # --- leg 4: 256-stream server round must not regress (the int8
+    # kernels see their large-batch shapes here: xproj rows 512,
+    # recurrence B=256)
+    def server_ms(quantize):
+        sdec = stream.MultiStreamDecoder(params, CFG, FCFG, _Tok(),
+                                         n_streams=256, step_n_frame=2,
+                                         compute_dtype=jnp.bfloat16,
+                                         quantize=quantize)
+        frames = jnp.asarray((rng.randn(256, sdec.win_size) * 0.1
+                              ).astype(np.float32))
+        return _device_ms_per_step(sdec, [frames], n=20)
+
+    sms_bf = server_ms(None)
+    sms_q = server_ms('int8')
+    print(f'leg4 256-stream server round device op time: bf16 '
+          f'{sms_bf:.3f} ms, int8 {sms_q:.3f} ms ({sms_bf / sms_q:.2f}x)')
+    assert sms_q < sms_bf * 1.10, 'int8 server rounds must not regress'
     print('ALL LEGS PASSED')
 
 
