@@ -16,6 +16,9 @@ from absl import app, flags
 
 from edgedict_tpu.config import FLAGS
 
+import cli.stream  # noqa: F401 — registers the shared serving flags
+                   # (--quantize) so exports match serving precision
+
 flags.DEFINE_string('export_dir', None,
                     'output dir (default logs/<name>/export)')
 flags.DEFINE_integer('export_step_n_frame', 2,
@@ -51,9 +54,13 @@ def main(argv):
         print('WARNING: exporting randomly initialized weights')
 
     out = FLAGS.export_dir or os.path.join(logdir, 'export')
+    quantize = getattr(FLAGS, 'quantize', '') or None
     export_transducer(params, cfg, out,
-                      step_frames=FLAGS.export_step_n_frame)
-    print(f'exported encoder/decoder/joint → {out} (parity OK)')
+                      step_frames=FLAGS.export_step_n_frame,
+                      quantize=quantize)
+    enc_bytes = os.path.getsize(os.path.join(out, 'encoder.stablehlo'))
+    tag = f', int8 encoder {enc_bytes / 1e6:.1f} MB' if quantize else ''
+    print(f'exported encoder/decoder/joint → {out} (parity OK{tag})')
 
 
 if __name__ == '__main__':

@@ -38,17 +38,28 @@ def _export_one(fn, args, path):
 
 
 def export_transducer(params, cfg: T.TransducerConfig, out_dir,
-                      batch_size=1, step_frames=2, check_parity=True):
+                      batch_size=1, step_frames=2, check_parity=True,
+                      quantize=None):
     """Serialize encoder/decoder/joint at pinned shapes → out_dir.
 
     Shapes follow the reference export table (export_openvino.sh:31-50):
     encoder consumes `step_frames` stacked feature frames with explicit
     (h, c) state I/O; decoder one token with state; joint one (enc, dec)
     feature pair.
+
+    quantize='int8': the encoder is weight-only-quantized BEFORE tracing
+    (ops/quant.py via stream.prepare_inference_params), so the artifact
+    carries int8 weight constants + per-channel scales — roughly half
+    the encoder artifact bytes — and dequantizes at execution; parity is
+    asserted against the live quantized model (the OpenVINO
+    post-training-int8 artifact role).
     """
     os.makedirs(out_dir, exist_ok=True)
     B = batch_size
     params = jax.tree.map(jnp.asarray, params)
+    if quantize is not None:
+        from edgedict_tpu.stream import prepare_inference_params
+        params = prepare_inference_params(params, None, quantize=quantize)
 
     def encoder_fn(xs, h, c):
         ys, (h2, c2) = T.encoder_apply(params['encoder'], cfg, xs, (h, c))
@@ -97,6 +108,7 @@ def export_transducer(params, cfg: T.TransducerConfig, out_dir,
 
     meta = {
         'batch_size': B, 'step_frames': step_frames,
+        'quantize': quantize,
         'config': {k: (list(v) if isinstance(v, tuple) else v)
                    for k, v in cfg.__dict__.items()},
     }

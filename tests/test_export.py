@@ -46,3 +46,41 @@ def test_export_roundtrip_and_stream_parity(tmp_path):
         live_text.append(live.decode(chunk))
         exp_text.append(exported.decode(chunk))
     assert ''.join(live_text) == ''.join(exp_text)
+
+
+def test_export_int8_artifact_parity_and_size(tmp_path):
+    """quantize='int8' export: parity asserts pass against the live
+    quantized model, the reloaded decoder matches the live int8
+    StreamingDecoder token-for-token, and the encoder artifact carries
+    int8 weight constants (materially smaller than the fp32 export).
+    Uses a 128-wide encoder so the weights dominate the artifact."""
+    import dataclasses
+    import json
+    import os
+
+    cfg = dataclasses.replace(CFG, enc_hidden_size=128, enc_proj_size=128)
+    params = T.transducer_init(jax.random.PRNGKey(1), cfg)
+    out32 = export_transducer(params, cfg, str(tmp_path / 'e32'),
+                              step_frames=2, check_parity=True)
+    out8 = export_transducer(params, cfg, str(tmp_path / 'e8'),
+                             step_frames=2, check_parity=True,
+                             quantize='int8')
+    s32 = os.path.getsize(os.path.join(out32, 'encoder.stablehlo'))
+    s8 = os.path.getsize(os.path.join(out8, 'encoder.stablehlo'))
+    assert s8 < 0.55 * s32, (s8, s32)
+    assert json.load(open(os.path.join(out8, 'meta.json')))['quantize'] \
+        == 'int8'
+
+    pipeline = FeaturePipeline(FEAT)
+    exported = ExportedStreamDecoder(out8, pipeline, _Tok())
+    live = StreamingDecoder(params, cfg, FEAT, _Tok(), step_n_frame=2,
+                            quantize='int8')
+    audio = np.random.RandomState(1).randn(live.win_size * 4) \
+        .astype(np.float32) * 0.3
+    n = (len(audio) - live.win_size) // live.hop_size + 1
+    live_text, exp_text = [], []
+    for i in range(n):
+        chunk = audio[i * live.hop_size:i * live.hop_size + live.win_size]
+        live_text.append(live.decode(chunk))
+        exp_text.append(exported.decode(chunk))
+    assert ''.join(live_text) == ''.join(exp_text)
