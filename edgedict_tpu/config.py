@@ -27,8 +27,8 @@ def define_flags():
     """Register the full flag surface.  Idempotent."""
     d = _define_once
     d(flags.DEFINE_string, 'name', 'rnn-t-v5', help='session name')
-    d(flags.DEFINE_enum, 'mode', 'train', ['train', 'resume', 'eval'],
-      help='mode')
+    d(flags.DEFINE_enum, 'mode', 'train',
+      ['train', 'resume', 'eval', 'device_rate'], help='mode')
     d(flags.DEFINE_integer, 'resume_step', None, help='model step')
     # dataset roots (reference rnnt/args.py:8-34)
     d(flags.DEFINE_string, 'LibriSpeech_train_100',
@@ -52,6 +52,9 @@ def define_flags():
     d(flags.DEFINE_string, 'YT_life', '../speech_data/common_voice',
       help='youtube caption corpus')
     d(flags.DEFINE_integer, 'num_workers', 4, help='dataloader workers')
+    d(flags.DEFINE_bool, 'cache_audio', False,
+      help='build/mmap a decoded int16 PCM cache per corpus (decode once, '
+           'zero host decode work thereafter; int16 H2D, scaled on device)')
     # learning (reference rnnt/args.py:36-50)
     d(flags.DEFINE_bool, 'use_pretrained', False,
       help='use wav2vec-pretrained encoder')

@@ -66,7 +66,10 @@ def seq_collate(samples, bucket: BucketSpec = None, pad_id=PAD,
         u_max = bucket.round_u(u_max)
 
     feat_shape = audios[0].shape[1:]
-    xs = np.zeros((b, t_max) + feat_shape, np.float32)
+    # int16 samples (decoded-PCM cache) stay int16 through collate and H2D;
+    # the jitted step scales them to float on device (features.pcm_to_float)
+    dtype = np.int16 if audios[0].dtype == np.int16 else np.float32
+    xs = np.zeros((b, t_max) + feat_shape, dtype)
     ys = np.full((b, u_max), pad_id, np.int32)
     xlen = np.zeros((b,), np.int32)
     ylen = np.zeros((b,), np.int32)

@@ -348,6 +348,16 @@ def _pallas_feat_eligible(cfg):
     return mode == 'force' or jax.default_backend() == 'tpu'
 
 
+def pcm_to_float(audio):
+    """int16 PCM → float32 in [-1, 1) on device (1/32768 is a power of two:
+    exact, and bit-identical to the host-side WAV decode's scaling) — the
+    device half of the decoded-PCM cache path (data/dataset.py), which keeps
+    the H2D copy at int16 width.  Float input passes through as float32."""
+    if audio.dtype == jnp.int16:
+        return audio.astype(jnp.float32) * (1.0 / 32768.0)
+    return audio.astype(jnp.float32)
+
+
 class FeaturePipeline:
     """Waveform (B, L) + lengths → features (B, T', input_size) + lengths.
 
@@ -393,7 +403,7 @@ class FeaturePipeline:
 
     def __call__(self, audio, lengths, rng=None, train=False):
         c = self.cfg
-        audio = audio.astype(jnp.float32)
+        audio = pcm_to_float(audio)
         lengths = lengths.astype(jnp.int32)
         if train and rng is not None:
             rng_dither, rng_spec = jax.random.split(rng)

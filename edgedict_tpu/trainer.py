@@ -54,7 +54,8 @@ def build_datasets(FLAGS, tokenizer):
     """Train/eval datasets from the flag-registered corpus roots; corpora
     whose root is missing are skipped with a notice (the reference
     hard-required all eight, cli/baseline.py:59-109)."""
-    kwargs = dict(audio_max_length=FLAGS.audio_max_length)
+    kwargs = dict(audio_max_length=FLAGS.audio_max_length,
+                  cache_audio=getattr(FLAGS, 'cache_audio', False))
     train = []
     for root in (FLAGS.LibriSpeech_train_500, FLAGS.LibriSpeech_train_360,
                  FLAGS.LibriSpeech_train_100):
