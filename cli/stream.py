@@ -49,6 +49,11 @@ flags.DEFINE_string('quantize', '',
                     'symmetric scales, in-kernel dequant — halves the '
                     'serving weight footprint at equal latency and '
                     'token-exact-vs-fp32 accuracy; ops/quant.py). '
+                    'Single-device only: under a sharded mesh '
+                    '(--serve_dp_size>1) or a multi-device session the int8 '
+                    'ops fall back to an XLA dequantize path (tokens stay '
+                    'exact, but weights are dequantized per dispatch — no '
+                    'footprint/latency win; a one-time warning is emitted). '
                     'Empty = serve at --infer_dtype precision.')
 
 

@@ -140,6 +140,25 @@ def quantize_encoder(enc):
 # int8-weight matmul kernel (x_proj and the final projection)
 # ---------------------------------------------------------------------------
 
+def cast_passthrough(qenc, dtype):
+    """Cast the quantized encoder's pass-through float leaves (biases,
+    LayerNorms, pre-norm) to the serving dtype, leaving the int8 q leaves
+    and the fp32 per-channel scales (the kernels multiply them into the
+    fp32 accumulator) untouched — so the quantized VALUES are independent
+    of the serving dtype (stream.py:prepare_inference_params)."""
+    def rec(t):
+        if isinstance(t, dict):
+            return {k: (v if k.endswith('scale') else rec(v))
+                    for k, v in t.items()}
+        if isinstance(t, (list, tuple)):
+            return type(t)(rec(v) for v in t)
+        x = jnp.asarray(t)
+        if jnp.issubdtype(x.dtype, jnp.floating):
+            return x.astype(dtype)
+        return t
+    return rec(qenc)
+
+
 def _mm_kernel(x_ref, wq_ref, s_ref, b_ref, o_ref):
     # int8 weights ride the MXU exactly (cast to the activation dtype is
     # lossless for |q| ≤ 127); the per-channel scale multiplies the fp32
@@ -219,12 +238,35 @@ def _sharded_trace():
             and rnn_ops.axis_size(ctx[0], ctx[1]) > 1)
 
 
+_warned_sharded = False
+
+
+def _warn_sharded_fallback():
+    """One-time notice that int8 serving under a sharded mesh (or a
+    multi-device session without one) routes through the XLA dequantize
+    fallback: full-precision weight copies are materialized per dispatch,
+    so the HBM-traffic/footprint win does NOT hold there (advisor round 4;
+    the Pallas int8 kernels are single-shard — see _sharded_trace)."""
+    global _warned_sharded
+    if not _warned_sharded:
+        _warned_sharded = True
+        import warnings
+        warnings.warn(
+            "int8 serving under a sharded mesh / multi-device session uses "
+            "the XLA dequantize fallback (tokens stay exact, but weights "
+            "are dequantized to full precision per dispatch — the 'halved "
+            "serving weight footprint' claim holds single-device only)",
+            RuntimeWarning, stacklevel=3)
+
+
 def _mm(x2d, wq, scale, bias2d):
     if (_kernels_on() and not _sharded_trace()
             and _col_block(wq.shape[1]) is not None
             and wq.shape[0] % 32 == 0
             and x2d.shape[0] <= _MAX_KERNEL_ROWS):
         return _quant_matmul(x2d, wq, scale, bias2d)
+    if _sharded_trace():
+        _warn_sharded_fallback()
     return _dequant_matmul_xla(x2d, wq, scale, bias2d)
 
 
@@ -384,6 +426,8 @@ def gru_layer_tm_q(params, xs, state):
     t, b, in_size = xs.shape
     h = h0.shape[-1]
     if not _kernels_on() or _sharded_trace() or h % 128:
+        if _sharded_trace():
+            _warn_sharded_fallback()
         return rnn_ops.gru_layer_tm(
             _dequant_rnn_params(params, in_size), xs, state)
 
@@ -426,6 +470,8 @@ def lstm_layer_tm_q(params, xs, state):
     t, b, in_size = xs.shape
     h = h0.shape[-1]
     if not _kernels_on() or _sharded_trace() or h % 128:
+        if _sharded_trace():
+            _warn_sharded_fallback()
         return rnn_ops.lstm_layer_tm(
             _dequant_rnn_params(params, in_size), xs, state)
 
