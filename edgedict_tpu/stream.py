@@ -110,7 +110,17 @@ def prepare_inference_params(tree, dtype=None, quantize=None):
                     raise ValueError(f'unknown quantize mode {quantize!r};'
                                      " expected 'int8'")
                 from edgedict_tpu.ops import quant
-                out['encoder'] = quant.quantize_encoder(out['encoder'])
+                # quantize from the PRE-CAST fp32 weights so the int8
+                # q/scale leaves are identical for every serving dtype
+                # (a live bf16 decoder previously quantized bf16-rounded
+                # weights while `cli.export --quantize` quantized fp32
+                # ones — advisor round 4); pass-through leaves (biases,
+                # LayerNorms) still follow the serving dtype
+                qenc = quant.quantize_encoder(
+                    prepare_inference_params(tree['encoder'], None))
+                if dtype is not None:
+                    qenc = quant.cast_passthrough(qenc, dtype)
+                out['encoder'] = qenc
             # kernel-layout weight views for the fused greedy frame-loop
             # kernel (ops/decode_pallas.py) — built once, not checkpointed
             from edgedict_tpu.ops import decode_pallas
@@ -623,6 +633,7 @@ class MultiStreamDecoder:
             state = jax.device_put(state, stream_state_sharding(
                 state, self.mesh, self.batch_axis))
         self.state = state
+        self._pending = None                 # decode_pipelined lag buffer
 
     def reset_stream(self, i):
         """Reset one stream's state, leaving the others untouched."""
@@ -643,21 +654,58 @@ class MultiStreamDecoder:
             h_dec=blend(0)(fresh.h_dec, self.state.h_dec))
 
     def decode(self, frames: np.ndarray):
-        """frames (n_streams, win_size) → list of newly decoded texts."""
+        """frames (n_streams, win_size) → list of newly decoded texts.
+
+        int16 PCM frames pass through to the device untouched (the jitted
+        step scales them — features.pcm_to_float), halving the per-round
+        host→device bytes, the dominant host cost of a server round at
+        N=256 (bench.py server decomposition)."""
         start = time.time()
-        audio = jnp.asarray(frames, jnp.float32)
+        audio = jnp.asarray(frames) if frames.dtype == np.int16 \
+            else jnp.asarray(frames, jnp.float32)
         tokens, self.state = self.chunk_step(self.params, self.state, audio)
         tokens = np.asarray(tokens)                 # (n_frames, N)
         self.elapsed.append(time.time() - start)
-        out = []
-        for s in range(self.n):
-            pieces = []
-            for t in tokens[:, s]:
-                if t > UNK:
-                    pieces.append(self.tokenizer.id_to_token(int(t))
-                                  .replace('</w>', ' '))
-            out.append(''.join(pieces))
+        out = self._render(tokens)
         return out
+
+    def _render(self, tokens):
+        """(n_frames, N) int tokens → text per stream, touching only the
+        emitting positions (token emissions are sparse per 75 ms round, so
+        one vectorized mask beats the N×n_frames Python loop)."""
+        out = [''] * self.n
+        frames_idx, stream_idx = np.nonzero(tokens.reshape(
+            tokens.shape[0], self.n) > UNK)
+        if len(stream_idx) == 0:
+            return out
+        flat = tokens.reshape(tokens.shape[0], self.n)
+        for s in np.unique(stream_idx):
+            rows = frames_idx[stream_idx == s]
+            out[int(s)] = ''.join(
+                self.tokenizer.id_to_token(int(flat[f, s]))
+                .replace('</w>', ' ') for f in rows)
+        return out
+
+    def decode_pipelined(self, frames: np.ndarray):
+        """Lag-1 double-buffered round: dispatch THIS round, then fetch the
+        PREVIOUS round's tokens — the host's fetch round-trip overlaps the
+        device computing the new round, so sustained round time approaches
+        max(host work, device round) instead of their sum.  Emits each
+        round's text one round (hop) late: still real-time whenever the
+        pipelined round time stays under the hop.  First call returns None.
+        Call flush() at end-of-stream for the last round's text."""
+        audio = jnp.asarray(frames) if frames.dtype == np.int16 \
+            else jnp.asarray(frames, jnp.float32)
+        tokens, self.state = self.chunk_step(self.params, self.state, audio)
+        prev, self._pending = getattr(self, '_pending', None), tokens
+        if prev is None:
+            return None
+        return self._render(np.asarray(prev))
+
+    def flush(self):
+        """Drain the pipelined decoder: text of the last dispatched round."""
+        prev, self._pending = getattr(self, '_pending', None), None
+        return self._render(np.asarray(prev)) if prev is not None else None
 
 
 class StreamingDecoder:

@@ -275,3 +275,63 @@ def test_quantize_rejects_unknown_modes():
     params = T.transducer_init(jax.random.PRNGKey(10), CFG)
     with pytest.raises(ValueError):
         prepare_inference_params(params, quantize='int4')
+
+
+def test_quantized_values_independent_of_serving_dtype():
+    """Advisor round 4: q/scale must come from the PRE-CAST fp32 weights,
+    so a live bf16 int8 decoder and a fp32 `cli.export --quantize` artifact
+    carry byte-identical int8 values (pass-through leaves — biases, LN —
+    still follow the serving dtype; scales stay fp32 for the kernels)."""
+    params = T.transducer_init(jax.random.PRNGKey(5), CFG)
+    p32 = prepare_inference_params(params, None, quantize='int8')
+    p16 = prepare_inference_params(params, jnp.bfloat16, quantize='int8')
+
+    def leaves(t, pred, prefix=''):
+        if isinstance(t, dict):
+            out = {}
+            for k, v in t.items():
+                out.update(leaves(v, pred, f'{prefix}{k}.'))
+            return out
+        if isinstance(t, (list, tuple)):
+            out = {}
+            for i, v in enumerate(t):
+                out.update(leaves(v, pred, f'{prefix}{i}.'))
+            return out
+        return {prefix: t} if pred(prefix) else {}
+
+    is_q = lambda k: ('_q.' in k or k.endswith('.w_q.')
+                      or 'scale' in k) and '_decode' not in k
+    q32 = leaves(p32['encoder'], is_q)
+    q16 = leaves(p16['encoder'], is_q)
+    assert set(q32) == set(q16) and q32
+    for k in q32:
+        np.testing.assert_array_equal(np.asarray(q32[k]),
+                                      np.asarray(q16[k]), err_msg=k)
+        if 'scale' in k:
+            assert q16[k].dtype == jnp.float32, k
+    # pass-through leaves follow the serving dtype
+    b16 = leaves(p16['encoder'],
+                 lambda k: k.endswith('.b_ih.') and '_decode' not in k)
+    assert b16 and all(v.dtype == jnp.bfloat16 for v in b16.values())
+
+
+def test_sharded_int8_fallback_warns_once():
+    """Advisor round 4: the silent XLA dequantize fallback under a sharded
+    mesh must announce itself (the footprint/latency win doesn't hold)."""
+    import warnings
+    from edgedict_tpu.parallel import make_mesh
+    from edgedict_tpu.stream import MultiStreamDecoder
+    feature_cfg = FeatureConfig(
+        feature_type='logfbank', feature_size=3, n_fft=64, win_length=40,
+        hop_length=20, downsample=3, pad_to_divisible=False)
+    params = T.transducer_init(jax.random.PRNGKey(8), CFG)
+    quant._warned_sharded = False
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter('always')
+        dec = MultiStreamDecoder(params, CFG, feature_cfg, _Tok(),
+                                 n_streams=8, step_n_frame=2,
+                                 mesh=make_mesh(dp=8), quantize='int8')
+        rng = np.random.RandomState(3)
+        dec.decode(rng.randn(8, dec.win_size).astype(np.float32) * 0.5)
+    msgs = [x for x in w if 'dequantize fallback' in str(x.message)]
+    assert len(msgs) == 1

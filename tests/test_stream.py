@@ -393,3 +393,56 @@ def test_bf16_beam_decode_runs_and_merges():
     assert isinstance(text, str)
     # beam log-probs are fp32 regardless of compute dtype
     assert dec.beam.logp.dtype == jnp.float32
+
+
+def test_multistream_int16_ingest_matches_float():
+    """int16 PCM frames pass to the device untouched (scaled on device by
+    features.pcm_to_float): tokens equal the float32-fed decoder's whenever
+    the float frames are exact int16/32768 multiples — halves the server
+    round's dominant H2D bytes (bench.py server decomposition)."""
+    from edgedict_tpu.stream import MultiStreamDecoder
+    feature_cfg = FeatureConfig(
+        feature_type='logfbank', feature_size=3, n_fft=64, win_length=40,
+        hop_length=20, downsample=3, pad_to_divisible=False)
+    params = T.transducer_init(jax.random.PRNGKey(7), CFG)
+    a = MultiStreamDecoder(params, CFG, feature_cfg, _Tok(),
+                           n_streams=3, step_n_frame=2)
+    b = MultiStreamDecoder(params, CFG, feature_cfg, _Tok(),
+                           n_streams=3, step_n_frame=2)
+    rng = np.random.RandomState(1)
+    q = (rng.randn(3, a.win_size * 3) * 8000).astype(np.int16)
+    f = q.astype(np.float32) / 32768.0
+    for c in range(3):
+        sl = slice(c * a.hop_size, c * a.hop_size + a.win_size)
+        assert a.decode(q[:, sl]) == b.decode(f[:, sl])
+
+
+def test_multistream_pipelined_matches_sequential():
+    """decode_pipelined (lag-1 fetch overlap) emits the same per-round
+    texts as decode, one round late, with flush() draining the last."""
+    from edgedict_tpu.stream import MultiStreamDecoder
+    feature_cfg = FeatureConfig(
+        feature_type='logfbank', feature_size=3, n_fft=64, win_length=40,
+        hop_length=20, downsample=3, pad_to_divisible=False)
+    params = T.transducer_init(jax.random.PRNGKey(7), CFG)
+    seq = MultiStreamDecoder(params, CFG, feature_cfg, _Tok(),
+                             n_streams=3, step_n_frame=2)
+    pip = MultiStreamDecoder(params, CFG, feature_cfg, _Tok(),
+                             n_streams=3, step_n_frame=2)
+    rng = np.random.RandomState(2)
+    audios = rng.randn(3, seq.win_size * 4).astype(np.float32) * 0.5
+    seq_rounds, pip_rounds = [], []
+    for c in range(4):
+        chunk = audios[:, c * seq.hop_size:
+                       c * seq.hop_size + seq.win_size]
+        seq_rounds.append(seq.decode(chunk))
+        out = pip.decode_pipelined(chunk)
+        if c == 0:
+            assert out is None
+        else:
+            pip_rounds.append(out)
+    pip_rounds.append(pip.flush())
+    assert pip.flush() is None
+    assert pip_rounds == seq_rounds
+    pip.reset()
+    assert pip.flush() is None
