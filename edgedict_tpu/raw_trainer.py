@@ -69,7 +69,9 @@ class RawTrainer(Trainer):
         cfg = self.cfg
 
         def feature_fn(params, batch):
-            xs = W.frontend_apply(params['frontend'], batch['audio'], spec)
+            from edgedict_tpu.features import pcm_to_float
+            xs = W.frontend_apply(params['frontend'],
+                                  pcm_to_float(batch['audio']), spec)
             # xlen from the conv stride ratio (cli/train.py:234-242)
             ratio = batch['audio'].shape[1] / xs.shape[1]
             xlen = jnp.ceil(batch['alen'].astype(jnp.float32)
@@ -91,6 +93,11 @@ class RawTrainer(Trainer):
             loss_fn=loss_fn, batch_keys=('audio', 'alen', 'ys', 'ylen'))
         self.eval_step = make_eval_step(cfg, self.mesh,
                                         feature_fn=feature_fn)
+        # beam eval is a feature-trainer extra (--eval_beam_width); the
+        # raw path evaluates greedy-only, but Trainer.evaluate() consults
+        # these attributes
+        self.beam_eval_step = None
+        self.last_beam_wer = None
 
     def load_pretrained(self, path):
         """Splice wav2vec frontend + encoder weights into the model

@@ -73,20 +73,61 @@ def synth(words, rng, noise=0.02, word_table=None):
     return (x + noise * rng.randn(len(x))).astype(np.float32)
 
 
+def synth_hard(words, rng, snr_db=20.0, word_table=None):
+    """Noise-and-variability tier (VERDICT round 4 weak #5): the easy
+    corpus's near-uniform utterance statistics barely stress alignment, so
+    this variant adds, per utterance: a speaker-like pitch scale
+    (0.88–1.14×), per-word tone-duration jitter (0.06–0.11 s), random
+    inter-word gaps (10–50 ms), amplitude wander, a 50% chance of a
+    distractor tone (low 50–120 Hz hum or high 3.5–5 kHz whistle, outside
+    the 300–2800 Hz word-tone band), and additive white noise calibrated
+    to `snr_db` against the utterance RMS (None/inf = clean)."""
+    table = word_table or WORDS
+    pitch = 0.88 + 0.26 * rng.rand()
+    audio = []
+    for w in words:
+        dur = 0.06 + 0.05 * rng.rand()
+        for f in table[w]:
+            t = np.arange(int(SR * dur)) / SR
+            amp = 0.2 + 0.2 * rng.rand()
+            audio.append(amp * np.sin(2 * np.pi * f * pitch * t))
+        audio.append(np.zeros(int(SR * (0.01 + 0.04 * rng.rand()))))
+    x = np.concatenate(audio)
+    if rng.rand() < 0.5:
+        f_d = (50 + 70 * rng.rand()) if rng.rand() < 0.5 \
+            else (3500 + 1500 * rng.rand())
+        t = np.arange(len(x)) / SR
+        x = x + (0.05 + 0.1 * rng.rand()) * np.sin(2 * np.pi * f_d * t)
+    if snr_db is not None and np.isfinite(snr_db):
+        rms = np.sqrt(np.mean(x ** 2))
+        sigma = rms / (10.0 ** (snr_db / 20.0))
+        x = x + sigma * rng.randn(len(x))
+    return x.astype(np.float32)
+
+
 class ToyCorpus:
     tokenizer = None
 
-    def __init__(self, tokenizer, n, seed, language='easy', noise=0.02):
+    def __init__(self, tokenizer, n, seed, language='easy', noise=0.02,
+                 snr_db=20.0):
+        """language='hard' uses synth_hard; snr_db may be a scalar or a
+        list (sampled per utterance — a mixed-SNR training diet)."""
         rng = np.random.RandomState(seed)
         names = list(WORDS)
         self.samples = []
         self.data = []
         self.tokenizer = tokenizer
+        snrs = snr_db if isinstance(snr_db, (list, tuple)) else [snr_db]
         for _ in range(n):
             n_words = rng.randint(3, 7)
             if language == 'confusable':
                 words = sample_conf_sentence(rng, n_words)
                 audio = synth(words, rng, noise, CONF_WORDS)
+            elif language == 'hard':
+                words = [names[rng.randint(len(names))]
+                         for _ in range(n_words)]
+                audio = synth_hard(words, rng,
+                                   snr_db=snrs[rng.randint(len(snrs))])
             else:
                 words = [names[rng.randint(len(names))]
                          for _ in range(n_words)]
@@ -108,17 +149,30 @@ class ToyCorpus:
         return audio, toks
 
 
+def _parse_snrs(spec):
+    """'20,10,5,inf' → [20.0, 10.0, 5.0, inf]."""
+    out = []
+    for part in str(spec).split(','):
+        part = part.strip()
+        if part:
+            out.append(float('inf') if part in ('inf', 'clean')
+                       else float(part))
+    return out
+
+
 def run(steps=400, enc_type='LSTM', logdir='/tmp/edgedict_synth',
         tokenizer='char', beam=0, lm_fusion=0.0, language='easy',
         noise=0.02, train_n=256, eval_n=48, lr=3e-3, beam_msf=4,
-        quant_ab=False):
+        quant_ab=False, snr_train='20,10,5', snr_sweep=''):
     """Train on the toy language, return {'greedy', 'beam', 'beam_lm'}
-    held-out WERs (the latter two only when beam > 0 / lm_fusion > 0)."""
+    held-out WERs (the latter two only when beam > 0 / lm_fusion > 0).
+    language='hard' + snr_sweep='inf,20,10,5' additionally reports
+    held-out WER per SNR (result['snr_<x>'])."""
     args = argparse.Namespace(
         steps=steps, enc_type=enc_type, logdir=logdir, tokenizer=tokenizer,
         beam=beam, lm_fusion=lm_fusion, language=language, noise=noise,
         train_n=train_n, eval_n=eval_n, lr=lr, beam_msf=beam_msf,
-        quant_ab=quant_ab)
+        quant_ab=quant_ab, snr_train=snr_train, snr_sweep=snr_sweep)
     from edgedict_tpu.config import FLAGS, ensure_parsed
     ensure_parsed(['synth'])
     FLAGS.name = 'synth'
@@ -163,10 +217,13 @@ def run(steps=400, enc_type='LSTM', logdir='/tmp/edgedict_synth',
         from edgedict_tpu.tokenizer import CharTokenizer
         os.makedirs(os.path.join(args.logdir, 'char'), exist_ok=True)
         tok = CharTokenizer(cache_dir=os.path.join(args.logdir, 'char'))
+    snr_train = _parse_snrs(args.snr_train)
     train_set = ToyCorpus(tok, args.train_n, seed=0,
-                          language=args.language, noise=args.noise)
+                          language=args.language, noise=args.noise,
+                          snr_db=snr_train)
     eval_set = ToyCorpus(tok, args.eval_n, seed=1,
-                         language=args.language, noise=args.noise)
+                         language=args.language, noise=args.noise,
+                         snr_db=snr_train)
     tok.build(train_set.texts())
 
     from edgedict_tpu.trainer import Trainer
@@ -187,6 +244,24 @@ def run(steps=400, enc_type='LSTM', logdir='/tmp/edgedict_synth',
     loss, wer = trainer.evaluate()
     print(f'FINAL held-out (greedy): loss {loss:.3f} WER {wer:.4f}')
     result = {'greedy': wer}
+
+    if args.snr_sweep:
+        # held-out WER vs SNR: same unseen word sequences per seed, noise
+        # level varied — the trend line that makes the synthetic accuracy
+        # evidence predictive (VERDICT round 4 weak #5)
+        from edgedict_tpu.data import DataLoader
+        for snr in _parse_snrs(args.snr_sweep):
+            sweep_set = ToyCorpus(tok, args.eval_n, seed=1,
+                                  language='hard', snr_db=snr)
+            trainer.eval_dataset = sweep_set
+            trainer.eval_loader = DataLoader(
+                sweep_set, FLAGS.eval_batch_size, shuffle=False,
+                bucket=trainer.bucket, drop_last=True, prefetch=0)
+            _, swer = trainer.evaluate()
+            key = 'snr_inf' if np.isinf(snr) else f'snr_{snr:g}'
+            result[key] = swer
+            print(f'SNR sweep held-out greedy WER [{key}]: {swer:.4f}',
+                  flush=True)
 
     if args.beam:
         import jax
@@ -309,9 +384,16 @@ def main():
     ap.add_argument('--lm_fusion', type=float, default=0.0,
                     help='train an LM on the corpus and fuse at this weight')
     ap.add_argument('--language', default='easy',
-                    choices=['easy', 'confusable'],
+                    choices=['easy', 'confusable', 'hard'],
                     help='confusable = near-identical word pairs + bigram '
-                         'grammar (beam/LM headroom)')
+                         'grammar (beam/LM headroom); hard = pitch scaling '
+                         '+ duration jitter + distractor tones + SNR noise')
+    ap.add_argument('--snr_train', default='20,10,5',
+                    help="language=hard: per-utterance training SNRs (dB), "
+                         "comma list; 'inf' = clean")
+    ap.add_argument('--snr_sweep', default='',
+                    help="after training, held-out WER at each SNR, e.g. "
+                         "'inf,20,10,5,0'")
     ap.add_argument('--noise', type=float, default=0.02)
     ap.add_argument('--train_n', type=int, default=256)
     ap.add_argument('--eval_n', type=int, default=48)
