@@ -41,6 +41,11 @@ flags.DEFINE_integer('round_timeout_ms', 75,
 flags.DEFINE_integer('serve_dp_size', 0,
                      '>1: shard the stream axis over a dp mesh of this '
                      'many devices')
+flags.DEFINE_bool('pcm_int16', False,
+                  'keep PCM int16 from the wire through the round buffers '
+                  'and the host->device copy (the device scales in-step); '
+                  'clients flag int16 payloads via the length prefix top '
+                  'bit, float32 payloads are quantized at ingest')
 
 
 def build_server(FLAGS):
@@ -82,7 +87,8 @@ def build_server(FLAGS):
     timeout = (FLAGS.round_timeout_ms / 1e3
                if FLAGS.round_timeout_ms > 0 else None)
     return StreamServer(dec, host=FLAGS.serve_host, port=FLAGS.port,
-                        round_timeout=timeout, full_hypothesis=beam)
+                        round_timeout=timeout, full_hypothesis=beam,
+                        pcm='int16' if FLAGS.pcm_int16 else 'float32')
 
 
 def main(argv):

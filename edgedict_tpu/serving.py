@@ -12,7 +12,14 @@ stream axis shards over 'dp').
 Wire protocol (little-endian uint32 length prefix, both directions):
 
   client → server   [len][float32 PCM bytes]  — any payload size, 16 kHz
-                    mono; len==0 marks end-of-stream.
+                    mono; len==0 marks end-of-stream.  Setting the length
+                    prefix's TOP BIT marks the payload as int16 PCM
+                    instead (half the bytes on the wire; a server built
+                    with pcm='int16' then keeps the samples int16 through
+                    its buffers AND the host→device copy — the device
+                    scales them in-step, features.pcm_to_float).  Servers
+                    predating the flag reject such frames as oversized —
+                    a safe failure, not misparsed audio.
   server → client   [len][type byte + UTF-8 text] — type b'+' appends the
                     text to the transcript (greedy mode emits deltas);
                     type b'=' REPLACES the whole transcript (beam mode:
@@ -56,16 +63,22 @@ async def _send(writer, payload: bytes, timeout=10.0):
         return False
 
 
+_I16_FLAG = 1 << 31
+
+
 async def _recv(reader, max_len):
-    """One length-prefixed payload; None on disconnect or a length prefix
-    beyond `max_len` (protocol abuse — readexactly would buffer it all)."""
+    """One length-prefixed payload → (payload, is_int16); (None, False) on
+    disconnect or a length beyond `max_len` (protocol abuse — readexactly
+    would buffer it all).  Bit 31 of the prefix flags int16 PCM."""
     try:
         (ln,) = struct.unpack('<I', await reader.readexactly(4))
+        i16 = bool(ln & _I16_FLAG)
+        ln &= _I16_FLAG - 1
         if ln > max_len:
-            return None
-        return await reader.readexactly(ln) if ln else b''
+            return None, False
+        return (await reader.readexactly(ln) if ln else b''), i16
     except (asyncio.IncompleteReadError, ConnectionError):
-        return None
+        return None, False
 
 
 class StreamServer:
@@ -82,15 +95,22 @@ class StreamServer:
 
     def __init__(self, decoder, host='127.0.0.1', port=0,
                  round_timeout=None, full_hypothesis=False,
-                 max_payload=1 << 24, max_buffer_seconds=600.0):
+                 max_payload=1 << 24, max_buffer_seconds=600.0,
+                 pcm='float32'):
         self.dec = decoder
         self.host, self.port = host, port
         self.round_timeout = round_timeout
         self.full_hypothesis = full_hypothesis
         self.max_payload = max_payload
         self.max_buffer_samples = int(max_buffer_seconds * 16000)
+        # pcm='int16': samples stay int16 from the wire through the round
+        # buffers and the host→device copy (the jitted step scales them —
+        # features.pcm_to_float); float32 payloads from mixed clients are
+        # quantized at ingest (exact for anything sourced from 16-bit PCM)
+        assert pcm in ('float32', 'int16'), pcm
+        self._dtype = np.int16 if pcm == 'int16' else np.float32
         n = decoder.n
-        self._buf = [np.zeros(0, np.float32) for _ in range(n)]
+        self._buf = [np.zeros(0, self._dtype) for _ in range(n)]
         self._writer = [None] * n
         self._eof = [False] * n
         self._done = [None] * n
@@ -143,7 +163,7 @@ class StreamServer:
             if slot is not None:
                 self._writer[slot] = writer
                 self._eof[slot] = False
-                self._buf[slot] = np.zeros(0, np.float32)
+                self._buf[slot] = np.zeros(0, self._dtype)
                 self._done[slot] = asyncio.Event()
                 self._last[slot] = ''
         if slot is None:
@@ -161,12 +181,14 @@ class StreamServer:
             await asyncio.get_running_loop().run_in_executor(
                 self._exec, self.dec.reset_stream, slot)
             while True:
-                payload = await _recv(reader, self.max_payload)
+                payload, i16 = await _recv(reader, self.max_payload)
                 if not payload:                 # EOF marker or disconnect
                     break
-                if len(payload) % 4:            # not float32-aligned
-                    break                       # protocol error: drop
-                pcm = np.frombuffer(payload, np.float32)
+                if len(payload) % (2 if i16 else 4):
+                    break                       # misaligned: protocol error
+                pcm = np.frombuffer(payload,
+                                    np.int16 if i16 else np.float32)
+                pcm = self._to_server_dtype(pcm)
                 async with self._cond:
                     if (len(self._buf[slot]) + len(pcm)
                             > self.max_buffer_samples):
@@ -183,6 +205,15 @@ class StreamServer:
                 self._cond.notify_all()
         await self._done[slot].wait()           # round loop flushed slot
         writer.close()
+
+    def _to_server_dtype(self, pcm):
+        """Wire samples → the server's buffer dtype."""
+        if pcm.dtype == self._dtype:
+            return pcm
+        if self._dtype == np.int16:      # float client on an int16 server
+            q = np.round(np.clip(pcm, -1.0, 1.0) * 32768.0)
+            return np.clip(q, -32768, 32767).astype(np.int16)
+        return pcm.astype(np.float32) / 32768.0   # int16 client, f32 server
 
     # -- chunk rounds ------------------------------------------------------
 
@@ -218,7 +249,7 @@ class StreamServer:
                     else:
                         deadline = None
                         await self._cond.wait()
-                frames = np.zeros((self.dec.n, win), np.float32)
+                frames = np.zeros((self.dec.n, win), self._dtype)
                 for i in fed:
                     frames[i] = self._buf[i][:win]
                     self._buf[i] = self._buf[i][hop:]
@@ -266,18 +297,26 @@ class StreamServer:
                 self._done[i].set()
 
 
-def stream_client(host, port, audio, chunk_samples=4096):
-    """Blocking reference client: stream float32 PCM in `chunk_samples`
-    pieces, send end-of-stream, apply text messages ('+' append,
-    '=' replace) until the flush payload.  Returns the final transcript
-    ('[busy]' when rejected)."""
+def stream_client(host, port, audio, chunk_samples=4096, int16=False):
+    """Blocking reference client: stream PCM in `chunk_samples` pieces,
+    send end-of-stream, apply text messages ('+' append, '=' replace)
+    until the flush payload.  Returns the final transcript ('[busy]' when
+    rejected).  int16=True sends int16 PCM with the flag bit — half the
+    wire bytes (float input is quantized; int16 input passes through)."""
     import socket
 
-    audio = np.asarray(audio, np.float32)
+    if int16:
+        if audio.dtype != np.int16:
+            audio = np.clip(np.round(np.clip(audio, -1.0, 1.0) * 32768.0),
+                            -32768, 32767).astype(np.int16)
+        flag = _I16_FLAG
+    else:
+        audio = np.asarray(audio, np.float32)
+        flag = 0
     with socket.create_connection((host, port)) as sock:
         for off in range(0, len(audio), chunk_samples):
             piece = audio[off:off + chunk_samples].tobytes()
-            sock.sendall(struct.pack('<I', len(piece)) + piece)
+            sock.sendall(struct.pack('<I', len(piece) | flag) + piece)
         sock.sendall(struct.pack('<I', 0))
         return _drain_text(sock)
 

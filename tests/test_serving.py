@@ -234,3 +234,31 @@ def test_timed_round_feeds_silence_for_late_stream():
         idle.close()
     finally:
         srv.stop()
+
+
+def test_int16_wire_and_server_match_float():
+    """int16 PCM protocol (length-prefix top bit): an int16-mode server
+    fed by int16 clients produces the same transcript as the float32
+    server for audio sourced from 16-bit PCM (exact round-trip); mixed
+    float clients on an int16 server are quantized at ingest and still
+    match."""
+    q = (np.random.RandomState(9).randn(1600) * 8000).astype(np.int16)
+    f = q.astype(np.float32) / 32768.0
+    want = _offline_text(_params(), f)
+    srv = _ServerThread(n_streams=2, pcm='int16')
+    try:
+        host, port = srv.addr
+        assert stream_client(host, port, q, chunk_samples=500,
+                             int16=True) == want
+        # float client on the int16 server: quantized at ingest, exact
+        # here because the source is 16-bit PCM
+        assert stream_client(host, port, f, chunk_samples=500) == want
+    finally:
+        srv.stop()
+    srv = _ServerThread(n_streams=2)
+    try:
+        # int16 client on a float32 server: scaled back to float
+        assert stream_client(*srv.addr, q, chunk_samples=500,
+                             int16=True) == want
+    finally:
+        srv.stop()
