@@ -151,10 +151,64 @@ def _fwd_kernel(f_ref, g_ref, w_ref, bias_ref, lbl_ref,
     lse_ref[0, 0] = _col_to_block(lse, r_t, r_u)
 
 
+def _fwd_kernel_split(f_ref, g_ref, w_ref, bias_ref, lbl_ref,
+                      blank_ref, label_ref, lse_ref, *, blank, r_t, r_u,
+                      cb):
+    """Column-blocked forward: flash-softmax running (max, sum) over V in
+    `cb`-lane blocks, so block i's VPU exp/sum work can overlap block
+    i+1's MXU matmul (the whole-V kernel runs one big matmul then a
+    VPU-only logsumexp tail — the round-4 trace put that tail at ~3-5 ms
+    of the B=64 step with only partial overlap, VALIDATION.md §3c).  The
+    per-row blank/label gathers are raw logits, independent of the
+    normalizer, so they accumulate per block without rescaling.
+    Same outputs as _fwd_kernel to the last ulp-ish (exp/rescale order
+    differs; parity asserted in tests at 1e-5)."""
+    j = f_ref.shape[-1]
+    v = w_ref.shape[1]
+    h = jnp.tanh(f_ref[0, 0][:, None, :].astype(jnp.float32)
+                 + g_ref[0][None, :, :].astype(jnp.float32))
+    hb = h.reshape(ROWS, j).astype(w_ref.dtype)
+    lbl = lbl_ref[0]                                   # (ROWS, 1) int32
+    m = jnp.full((ROWS, 1), -jnp.inf, jnp.float32)
+    s = jnp.zeros((ROWS, 1), jnp.float32)
+    b_acc = jnp.zeros((ROWS, 1), jnp.float32)
+    l_acc = jnp.zeros((ROWS, 1), jnp.float32)
+    for c0 in range(0, v, cb):                         # static unroll
+        logits = jax.lax.dot_general(
+            hb, w_ref[:, c0:c0 + cb], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) + bias_ref[:, c0:c0 + cb]
+        cols = jax.lax.broadcasted_iota(jnp.int32, (ROWS, cb), 1) + c0
+        m_new = jnp.maximum(m, jnp.max(logits, axis=1, keepdims=True))
+        s = (s * jnp.exp(m - m_new)
+             + jnp.sum(jnp.exp(logits - m_new), axis=1, keepdims=True))
+        m = m_new
+        b_acc += _gather_col(logits, cols, blank)
+        l_acc += _gather_col(logits, cols, lbl)
+    lse = m + jnp.log(s)
+    blank_ref[0, 0] = _col_to_block(b_acc - lse, r_t, r_u)
+    label_ref[0, 0] = _col_to_block(l_acc - lse, r_t, r_u)
+    lse_ref[0, 0] = _col_to_block(lse, r_t, r_u)
+
+
+def _fwd_col_block(v):
+    """Column block for the split forward, from EDGEDICT_JOINT_FWD_COLS
+    (lanes per MXU call; 0/unset = whole-V single-matmul kernel)."""
+    cb = int(os.environ.get('EDGEDICT_JOINT_FWD_COLS', '0'))
+    if cb > 0 and cb % 128 == 0 and v % cb == 0 and cb < v:
+        return cb
+    return 0
+
+
 def _run_fwd(f, g, w_t, bias, lbl_rows, blank, r_t, r_u):
     B, n_t, _, J = f.shape
     V = w_t.shape[1]
-    kernel = functools.partial(_fwd_kernel, blank=blank, r_t=r_t, r_u=r_u)
+    cb = _fwd_col_block(V)
+    if cb:
+        kernel = functools.partial(_fwd_kernel_split, blank=blank,
+                                   r_t=r_t, r_u=r_u, cb=cb)
+    else:
+        kernel = functools.partial(_fwd_kernel, blank=blank, r_t=r_t,
+                                   r_u=r_u)
     scal = pl.BlockSpec((1, 1, r_t, r_u), lambda b, t: (b, t, 0, 0),
                         memory_space=pltpu.VMEM)
     out3 = [jax.ShapeDtypeStruct((B, n_t, r_t, r_u), jnp.float32)] * 3

@@ -192,3 +192,41 @@ def test_eligibility_gate(monkeypatch):
     assert not joint_lse_eligible(61, 100, 2048)    # J not 128-aligned
     monkeypatch.setenv('EDGEDICT_PALLAS_JOINT', '0')
     assert not joint_lse_eligible(61, 640, 2048)
+
+
+def test_forward_parity_column_blocked(monkeypatch):
+    """EDGEDICT_JOINT_FWD_COLS: the flash-style column-blocked forward
+    (running max/sum over V blocks, per-block gathers) matches the
+    whole-V kernel and the XLA reference; gradients keep flowing through
+    the (unchanged) backward."""
+    monkeypatch.setenv('EDGEDICT_PALLAS_JOINT', 'force')
+    monkeypatch.setenv('EDGEDICT_JOINT_FWD_COLS', '128')
+    f, g, w_t, bias, labels = _case(jax.random.PRNGKey(2), V=256)
+    got_b, got_l = fused_joint_lse(f, g, w_t, bias, labels, 0)
+    want_b, want_l = _xla_reference(f, g, w_t, bias, labels, 0)
+    np.testing.assert_allclose(np.asarray(got_b), np.asarray(want_b),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_l), np.asarray(want_l),
+                               rtol=1e-5, atol=1e-5)
+
+    def loss(f_, g_, w_, b_):
+        bb, ll = fused_joint_lse(f_, g_, w_, b_, labels, 0)
+        return jnp.sum(bb) + 2.0 * jnp.sum(ll)
+
+    got = jax.grad(loss, argnums=(0, 1, 2, 3))(f, g, w_t, bias)
+
+    def loss_ref(f_, g_, w_, b_):
+        bb, ll = _xla_reference(f_, g_, w_, b_, labels, 0)
+        return jnp.sum(bb) + 2.0 * jnp.sum(ll)
+
+    want = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(f, g, w_t, bias)
+    for gg, ww in zip(got, want):
+        np.testing.assert_allclose(np.asarray(gg), np.asarray(ww),
+                                   rtol=2e-4, atol=2e-4)
+
+    # ineligible block sizes fall back to the whole-V kernel
+    from edgedict_tpu.ops.joint_lse_pallas import _fwd_col_block
+    monkeypatch.setenv('EDGEDICT_JOINT_FWD_COLS', '100')
+    assert _fwd_col_block(256) == 0
+    monkeypatch.setenv('EDGEDICT_JOINT_FWD_COLS', '256')
+    assert _fwd_col_block(256) == 0          # cb == V: use whole-V path
