@@ -55,6 +55,14 @@ def define_flags():
     d(flags.DEFINE_bool, 'cache_audio', False,
       help='build/mmap a decoded int16 PCM cache per corpus (decode once, '
            'zero host decode work thereafter; int16 H2D, scaled on device)')
+    d(flags.DEFINE_bool, 'device_corpus', False,
+      help='load the ENTIRE training corpus into device HBM once (int16 '
+           'audio + padded labels) and feed the train step by INDEX: the '
+           'per-step host->device traffic drops to a few hundred bytes '
+           'and the end-to-end loop runs at device rate on any host.  '
+           'Fits corpora up to a few GB (audio bytes = 2 * seconds * '
+           '16000); trades per-batch length bucketing for global padding, '
+           'so best on length-filtered or uniform corpora.  Single-host.')
     # learning (reference rnnt/args.py:36-50)
     d(flags.DEFINE_bool, 'use_pretrained', False,
       help='use wav2vec-pretrained encoder')

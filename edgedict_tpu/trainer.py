@@ -109,6 +109,33 @@ def pick_accum_steps(batch_size, sub_batch_size, dp_local=1, pp=1):
         f'batch_size={batch_size} and the per-host dp size {dp_local}')
 
 
+class _IndexBatches:
+    """device_corpus-mode loader: yields {'idx': (B,) int32} batches in
+    EXACTLY the order the wrapped DataLoader would have yielded host
+    batches (same shuffle/pool/epoch logic), so resume replay and the
+    checkpointed epoch counter behave identically."""
+
+    def __init__(self, loader):
+        self._l = loader
+
+    def __len__(self):
+        return len(self._l)
+
+    @property
+    def epoch(self):
+        return self._l.epoch
+
+    @epoch.setter
+    def epoch(self, v):
+        self._l.epoch = v
+
+    def __iter__(self):
+        batches = self._l._batches_indices()
+        self._l.epoch += 1
+        for idxs in batches:
+            yield {'idx': np.asarray(idxs, np.int32)}
+
+
 class Trainer:
     def __init__(self, FLAGS, train_datasets=None, eval_dataset=None,
                  mesh=None):
@@ -164,6 +191,10 @@ class Trainer:
             bucket=self.bucket, drop_last=True,
             prefetch=0) if self.eval_dataset is not None else None
 
+        self._device_corpus = None
+        if getattr(FLAGS, 'device_corpus', False):
+            self._build_device_corpus()
+
         self.writer = None
         if jax.process_index() == 0:     # one host owns logging artifacts
             try:
@@ -215,6 +246,66 @@ class Trainer:
         self.last_beam_wer = None
 
     # ------------------------------------------------------------------
+    def _build_device_corpus(self):
+        """Device-resident corpus (--device_corpus): every training
+        sample padded to one global (L_max, U_max) and placed in HBM
+        ONCE; the step loop then ships only (accum, micro) int32 index
+        arrays and a jitted gather assembles each batch ON DEVICE.  The
+        TPU-native end of the data-feeding story: per-step host→device
+        traffic is a few hundred bytes, so the end-to-end loop runs at
+        device rate on any host (the decoded-PCM cache already removed
+        decode work; this removes the audio H2D — ~29 MB/step at B=64 ×
+        14 s — entirely).  Costs: audio bytes = 2·seconds·16000 of HBM
+        (e.g. 0.23 GB for 512 × 14 s; LibriSpeech-100 ≈ 11.5 GB — at the
+        edge of one v5e), and global padding instead of per-batch length
+        bucketing, so it suits length-filtered/uniform corpora and
+        epoch ≥ 1 reuse.  Single-host (the index loader replays the SAME
+        shuffle order as the host-batch path, so resume determinism is
+        unchanged)."""
+        assert jax.process_count() == 1, \
+            '--device_corpus is single-host (shard corpora over dp hosts '\
+            'with the regular loader instead)'
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        ds = self.train_dataset
+        n = len(ds)
+        items = None
+        pool = getattr(self.loader, '_fetcher', None)
+        if pool is not None:
+            p, fetch = self.loader._fetcher()
+            items = fetch(list(range(n)))
+            if p is not None:
+                p.shutdown(wait=False)
+        else:
+            items = [ds[i] for i in range(n)]
+        l_max = self.bucket.round_t(max(len(a) for a, _ in items))
+        u_max = self.bucket.round_u(max(len(t) for _, t in items))
+        a_dtype = np.int16 if items[0][0].dtype == np.int16 else np.float32
+        audio = np.zeros((n, l_max), a_dtype)
+        alen = np.zeros((n,), np.int32)
+        ys = np.full((n, u_max), 0, np.int32)
+        ylen = np.zeros((n,), np.int32)
+        for i, (a, t) in enumerate(items):
+            audio[i, :len(a)] = a
+            alen[i] = len(a)
+            ys[i, :len(t)] = t
+            ylen[i] = len(t)
+        gb = audio.nbytes / 1e9
+        print(f'device_corpus: {n} utts padded to L={l_max} U={u_max} '
+              f'({gb:.2f} GB audio on device)')
+        rep = NamedSharding(self.mesh, P())
+        self._device_corpus = {
+            'audio': jax.device_put(audio, rep),
+            'alen': jax.device_put(alen, rep),
+            'ys': jax.device_put(ys, rep),
+            'ylen': jax.device_put(ylen, rep),
+        }
+        self._gather = jax.jit(
+            lambda corpus, idx: {k: v[idx] for k, v in corpus.items()},
+            out_shardings=batch_sharding(self.mesh))
+        self._idx_sharding = batch_sharding(self.mesh)
+        self.loader = _IndexBatches(self.loader)
+
     def _lr(self, step):
         lr = self.FLAGS.lr * float(optim.warmup_scale(
             step, self.FLAGS.warmup_step))
@@ -228,8 +319,16 @@ class Trainer:
         return sub
 
     def run_step(self, batch):
-        """One optimizer step on a host batch dict (audio/alen/ys/ylen)."""
-        sharded = shard_batch(self.mesh, batch, self.accum_steps)
+        """One optimizer step on a host batch dict (audio/alen/ys/ylen),
+        or — device_corpus mode — an index batch {'idx': (B,) int32}
+        gathered on device."""
+        if self._device_corpus is not None and 'idx' in batch:
+            idx = np.asarray(batch['idx']).reshape(self.accum_steps, -1)
+            sharded = self._gather(
+                self._device_corpus,
+                jax.device_put(idx, self._idx_sharding))
+        else:
+            sharded = shard_batch(self.mesh, batch, self.accum_steps)
         self.state, metrics = self.train_step(
             self.state, sharded, self._next_rng(),
             jnp.asarray(self._lr(self._host_step), jnp.float32))

@@ -85,6 +85,8 @@ def flags_for(args, corpus, logs, epochs, mode='train', extra=()):
     return [
         '--mode', mode,
         '--cache_audio=%s' % ('false' if args.no_cache_audio else 'true'),
+        '--device_corpus=%s' % ('true' if getattr(args, 'device_corpus',
+                                                  False) else 'false'),
         '--LibriSpeech_train_100', corpus,
         '--LibriSpeech_train_360', '/nonexistent',
         '--LibriSpeech_train_500', '/nonexistent',
@@ -173,6 +175,11 @@ def main():
     ap.add_argument('--work', default='/tmp/edgedict_soak')
     ap.add_argument('--tiny', action='store_true',
                     help='tiny model smoke of the orchestration (CPU)')
+    ap.add_argument('--device_corpus', action='store_true',
+                    help='HBM-resident corpus: the step loop ships only '
+                         'index arrays (trainer.py _build_device_corpus) '
+                         '— the end-to-end loop runs at device rate on '
+                         'any host')
     ap.add_argument('--no_cache_audio', action='store_true',
                     help='disable the decoded-PCM cache (round-4 behavior: '
                          'decode WAVs per item — loader-bound on weak hosts)')
@@ -312,6 +319,7 @@ def main():
         'double_resume_bit_identical': True,
         'checkpoints': ckpts,
         'cache_audio': not args.no_cache_audio,
+        'device_corpus': bool(getattr(args, 'device_corpus', False)),
         # device-only rate of the SAME config (loader excluded) and the
         # fraction of it the end-to-end loop sustained
         'device_step_ms': device_step_ms,
