@@ -90,6 +90,9 @@ def main():
     ap.add_argument('--tiny', action='store_true',
                     help='tiny encoder + 0.5 s crops: CPU smoke of the '
                          'harness itself, not a perf measurement')
+    ap.add_argument('--trace', action='store_true',
+                    help='also capture an op-level device breakdown '
+                         '(jax.profiler xplane, per category)')
     args = ap.parse_args()
     if args.tiny:
         args.batch, args.samples = 4, 8000
@@ -141,6 +144,29 @@ def main():
     hi = min(run_n(hi_n) for _ in range(3))
     sec_per_step = (hi - lo) / (hi_n - lo_n)
 
+    trace_cats = None
+    if args.trace:
+        # op-level device breakdown (same xplane parsing as
+        # trace_train_step): which pretrain phase owns the time — the
+        # input to the "is a Pallas kernel warranted?" question
+        import tempfile
+        import jax as _jax
+        from scripts.trace_train_step import categorize, device_op_events
+        tmp = tempfile.mkdtemp(prefix='pretrain_trace_')
+        n_tr = 4
+        try:
+            _jax.profiler.start_trace(tmp)
+            run_n(n_tr)
+            _jax.profiler.stop_trace()
+            cats = {}
+            for name, us in device_op_events(tmp):
+                cats[categorize(name)] = cats.get(categorize(name), 0.0) \
+                    + us / 1e3 / n_tr
+            trace_cats = {k: round(v, 3) for k, v in
+                          sorted(cats.items(), key=lambda kv: -kv[1])}
+        except Exception as e:                        # noqa: BLE001
+            trace_cats = {'error': repr(e)[:120]}
+
     fwd, t_frames = pretrain_fwd_flops(
         pre.cfg, pre.cfg.frontend_params, args.batch, args.samples)
     kind = jax.devices()[0].device_kind
@@ -159,6 +185,8 @@ def main():
         'device_kind': kind,
         'contrastive_loss': round(float(m['contrastive_loss']), 4),
     }
+    if trace_cats is not None:
+        out['device_ms_by_category'] = trace_cats
     print(json.dumps(out), flush=True)
 
 
