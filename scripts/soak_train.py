@@ -68,7 +68,14 @@ def make_corpus(root, n, seconds, sr=16000, seed=0):
         while True:
             w = [names[rng.randint(len(names))]
                  for _ in range(rng.randint(6, 12))]
-            seg = synth_hard(w, rng, snr_db=[20.0, 10.0][rng.randint(2)])
+            # real-speech word density (~2.5 words/s: 0.12-0.25 s gaps):
+            # keeps a 14 s transcript near ~110 char tokens, inside the
+            # fused joint kernel's U+1 <= ROWS=256 envelope — at the
+            # original 4.6 words/s the soak silently fell back to the
+            # XLA joint path (U≈390 → r_u=512) and the device step ran
+            # 17x the U=60 bench config
+            seg = synth_hard(w, rng, snr_db=[20.0, 10.0][rng.randint(2)],
+                             gap=(0.12, 0.25))
             if len(audio) + len(seg) > target:
                 break
             words.extend(w)
