@@ -38,16 +38,36 @@ def main(argv):
         return
     if FLAGS.mode == 'device_rate':
         import time
+        import jax.numpy as jnp
+        from edgedict_tpu.parallel import shard_batch
         batch = next(iter(trainer.loader))
-        trainer.run_step(batch)                    # compile + warmup
-        float(trainer.state.step)                  # sync
+        # pre-place ONE batch on device and re-feed the DEVICE arrays —
+        # calling run_step(host_batch) in the loop would re-upload the
+        # ~29 MB of audio every iteration and measure the tunnel's H2D,
+        # not the device step (that mistake made round 5's first probe
+        # read 1479 ms for a 125 ms step)
+        if trainer._device_corpus is not None and 'idx' in batch:
+            import numpy as np
+            import jax
+            idx = np.asarray(batch['idx']).reshape(trainer.accum_steps, -1)
+            sharded = trainer._gather(
+                trainer._device_corpus,
+                jax.device_put(idx, trainer._idx_sharding))
+            audio_s = float(jnp.sum(sharded['alen'])) / 16000.0
+        else:
+            sharded = shard_batch(trainer.mesh, batch,
+                                  trainer.accum_steps)
+            audio_s = float(batch['alen'].sum()) / 16000.0
+        rng = trainer._next_rng()
+        lr = jnp.asarray(trainer._lr(0), jnp.float32)
+        state, m = trainer.train_step(trainer.state, sharded, rng, lr)
+        float(m['loss'])                           # compile + warmup
         n = 100
         t0 = time.time()
         for _ in range(n):
-            m = trainer.run_step(batch)
+            state, m = trainer.train_step(state, sharded, rng, lr)
         float(m['loss'])                           # one sync fetch
         step_ms = (time.time() - t0) / n * 1e3
-        audio_s = float(batch['alen'].sum()) / 16000.0
         print(f'device_rate: step_ms {step_ms:.2f} '
               f'batch_audio_s {audio_s:.1f} '
               f'audio_s_per_s {audio_s / (step_ms / 1e3):.1f}')
