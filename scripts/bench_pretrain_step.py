@@ -129,13 +129,25 @@ def main():
     samples = [ds[i] for i in range(args.batch)]
     batch = pre.make_batch(samples)
 
-    m = pre.run_step(batch)                       # compile + warmup
-    float(m['loss'])
+    # pre-place ONE batch on device and re-feed the DEVICE arrays —
+    # looping run_step(host_batch) would re-upload the ~6 MB of audio
+    # every iteration and measure the tunnel's H2D, not the step (first
+    # attempt read 462 ms for a step whose device ops trace at ~35 ms)
+    import jax.numpy as jnp
+    from edgedict_tpu.parallel import shard_batch
+    sharded = shard_batch(pre.mesh, batch, pre.accum_steps)
+    lr = jnp.asarray(FLAGS.lr, jnp.float32)
+    aux = {'temp': jnp.asarray(FLAGS.init_temp, jnp.float32)}
+    rng = jax.random.PRNGKey(5)
+
+    state, m = pre.train_step(pre.state, sharded, rng, lr, aux)
+    float(m['loss'])                              # compile + warmup
 
     def run_n(n):
+        nonlocal state
         t0 = time.time()
         for _ in range(n):
-            m = pre.run_step(batch)
+            state, m = pre.train_step(state, sharded, rng, lr, aux)
         float(m['loss'])                          # one sync fetch
         return time.time() - t0
 
