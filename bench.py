@@ -157,8 +157,13 @@ def traced_device_ms(fn_round, n=24):
     try:
         tmp = tempfile.mkdtemp(prefix='bench_trace_')
         jax.profiler.start_trace(tmp)
-        fn_round(n)
-        jax.profiler.stop_trace()
+        try:
+            fn_round(n)
+        finally:
+            # a raise inside fn_round must not leave the profiler active:
+            # every later traced_device_ms would hit 'profiler already
+            # active', be swallowed, and silently fall back to slope
+            jax.profiler.stop_trace()
         import sys
         sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
         from scripts.trace_train_step import device_op_events
@@ -337,6 +342,10 @@ def bench_server_mode(params, cfg, feature_cfg, n_streams=256, rounds=8):
             'h2d_transfer_f32': round(h2d_f32, 3),
             'h2d_transfer_int16': round(h2d_i16, 3),
             'dispatch_fetch_rtt': round(floor_ms, 3),
+            # (b) full round with the PCM pre-placed on device: what the
+            # round costs once H2D is out of the picture (rtt + device +
+            # fetch) — the tunnel-free H2D saving is wall - predev
+            'predevice_round': round(predev * 1e3, 3),
             'host_unpack': round(unpack_ms, 3),
             'device': round(dev_round_ms, 3),
             'residual': round(max(wall * 1e3 - h2d_f32 - floor_ms
@@ -592,8 +601,10 @@ def main():
         import glob
         import re as _re
         here = os.path.dirname(os.path.abspath(__file__))
-        cands = sorted(glob.glob(os.path.join(here, 'BENCH_r*.json')),
-                       key=lambda p: int(_re.search(r'r(\d+)', p).group(1)))
+        cands = sorted(
+            glob.glob(os.path.join(here, 'BENCH_r*.json')),
+            key=lambda p: int(_re.search(
+                r'r(\d+)', os.path.basename(p)).group(1)))
         if not cands:
             return None
         try:

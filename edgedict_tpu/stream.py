@@ -566,9 +566,14 @@ class MultiStreamBeamDecoder:
                      if b.lm_next is not None else None))
 
     def decode(self, frames: np.ndarray):
-        """frames (n_streams, win_size) → current best text per stream."""
+        """frames (n_streams, win_size) → current best text per stream.
+
+        int16 PCM frames pass through untouched, like the greedy server
+        path: the jitted step scales them (features.pcm_to_float)."""
         start = time.time()
-        audio = jnp.asarray(frames, jnp.float32)
+        frames = np.asarray(frames)
+        audio = jnp.asarray(frames) if frames.dtype == np.int16 \
+            else jnp.asarray(frames, jnp.float32)
         self.enc_state, self.beam, toks, n_tok, _ = self.chunk_step(
             self.params, self.enc_state, self.beam, audio)
         toks = np.asarray(toks)
@@ -661,6 +666,7 @@ class MultiStreamDecoder:
         host→device bytes, the dominant host cost of a server round at
         N=256 (bench.py server decomposition)."""
         start = time.time()
+        frames = np.asarray(frames)
         audio = jnp.asarray(frames) if frames.dtype == np.int16 \
             else jnp.asarray(frames, jnp.float32)
         tokens, self.state = self.chunk_step(self.params, self.state, audio)
@@ -694,6 +700,7 @@ class MultiStreamDecoder:
         round's text one round (hop) late: still real-time whenever the
         pipelined round time stays under the hop.  First call returns None.
         Call flush() at end-of-stream for the last round's text."""
+        frames = np.asarray(frames)
         audio = jnp.asarray(frames) if frames.dtype == np.int16 \
             else jnp.asarray(frames, jnp.float32)
         tokens, self.state = self.chunk_step(self.params, self.state, audio)

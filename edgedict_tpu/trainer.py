@@ -283,7 +283,11 @@ class Trainer:
         a_dtype = np.int16 if items[0][0].dtype == np.int16 else np.float32
         audio = np.zeros((n, l_max), a_dtype)
         alen = np.zeros((n,), np.int32)
-        ys = np.full((n, u_max), 0, np.int32)
+        # PAD-fill like seq_collate (data/collate.py): loss is ylen-masked
+        # either way, but the device batches must match the host loader's
+        # byte-for-byte so the two paths stay interchangeable
+        from edgedict_tpu.tokenizer import PAD
+        ys = np.full((n, u_max), PAD, np.int32)
         ylen = np.zeros((n,), np.int32)
         for i, (a, t) in enumerate(items):
             audio[i, :len(a)] = a

@@ -281,7 +281,15 @@ def main():
     proc, log = launch(
         flags_for(args, corpus, logs, total_epochs, mode='device_rate'),
         drate_log, env)
-    rc = proc.wait(timeout=3600)
+    try:
+        rc = proc.wait(timeout=3600)
+    except subprocess.TimeoutExpired:
+        # the probe is optional evidence: a hang must not discard the
+        # finished soak report (the rc!=0 branch below degrades the same
+        # way) — kill the child and proceed without a device rate
+        proc.send_signal(signal.SIGKILL)
+        proc.wait()
+        rc = -1
     log.close()
     device_step_ms = device_rate = None
     if rc == 0:

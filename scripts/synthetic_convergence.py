@@ -252,6 +252,7 @@ def run(steps=400, enc_type='LSTM', logdir='/tmp/edgedict_synth',
         # level varied — the trend line that makes the synthetic accuracy
         # evidence predictive (VERDICT round 4 weak #5)
         from edgedict_tpu.data import DataLoader
+        held_out = trainer.eval_dataset, trainer.eval_loader
         for snr in _parse_snrs(args.snr_sweep):
             sweep_set = ToyCorpus(tok, args.eval_n, seed=1,
                                   language='hard', snr_db=snr)
@@ -264,6 +265,10 @@ def run(steps=400, enc_type='LSTM', logdir='/tmp/edgedict_synth',
             result[key] = swer
             print(f'SNR sweep held-out greedy WER [{key}]: {swer:.4f}',
                   flush=True)
+        # restore the held-out set: the beam/LM and quant A/B blocks below
+        # iterate trainer.eval_loader and must score the same corpus as
+        # result['greedy'], not the last sweep SNR
+        trainer.eval_dataset, trainer.eval_loader = held_out
 
     if args.beam:
         import jax

@@ -236,6 +236,36 @@ def test_timed_round_feeds_silence_for_late_stream():
         srv.stop()
 
 
+def test_int16_server_with_beam_decoder_matches_float():
+    """cli.serve --beam_width N --pcm_int16 end-to-end: an int16-mode
+    server running a MultiStreamBeamDecoder must transcribe 16-bit-PCM
+    audio identically to a float32 beam server (regression: the beam
+    decoder once skipped the 1/32768 scaling for int16 frames)."""
+    from edgedict_tpu.stream import MultiStreamBeamDecoder
+    params = _params()
+    q = (np.random.RandomState(9).randn(1600) * 8000).astype(np.int16)
+    f = q.astype(np.float32) / 32768.0
+
+    def beam_dec():
+        return MultiStreamBeamDecoder(params, CFG, FEAT, _Tok(),
+                                      n_streams=2, step_n_frame=2,
+                                      beam_width=2)
+
+    srv = _ServerThread(decoder=beam_dec(), pcm='int16',
+                        full_hypothesis=True)
+    try:
+        got_i16 = stream_client(*srv.addr, q, chunk_samples=500,
+                                int16=True)
+    finally:
+        srv.stop()
+    srv = _ServerThread(decoder=beam_dec(), full_hypothesis=True)
+    try:
+        got_f32 = stream_client(*srv.addr, f, chunk_samples=500)
+    finally:
+        srv.stop()
+    assert got_i16 == got_f32 and got_f32  # nonempty, identical
+
+
 def test_int16_wire_and_server_match_float():
     """int16 PCM protocol (length-prefix top bit): an int16-mode server
     fed by int16 clients produces the same transcript as the float32

@@ -417,6 +417,28 @@ def test_multistream_int16_ingest_matches_float():
         assert a.decode(q[:, sl]) == b.decode(f[:, sl])
 
 
+def test_multistream_beam_int16_ingest_matches_float():
+    """The beam server must scale int16 PCM exactly like the greedy one
+    (regression: decode() once cast int16 straight to float32 WITHOUT the
+    1/32768 scaling, so --pcm_int16 beam serving decoded ±32767-amplitude
+    garbage silently).  Also pins list-of-rows input (np-normalized before
+    the dtype check)."""
+    from edgedict_tpu.stream import MultiStreamBeamDecoder
+    feature_cfg = FeatureConfig(
+        feature_type='logfbank', feature_size=3, n_fft=64, win_length=40,
+        hop_length=20, downsample=3, pad_to_divisible=False)
+    params = T.transducer_init(jax.random.PRNGKey(7), CFG)
+    kw = dict(n_streams=3, step_n_frame=2, beam_width=2)
+    a = MultiStreamBeamDecoder(params, CFG, feature_cfg, _Tok(), **kw)
+    b = MultiStreamBeamDecoder(params, CFG, feature_cfg, _Tok(), **kw)
+    rng = np.random.RandomState(1)
+    q = (rng.randn(3, a.win_size * 3) * 8000).astype(np.int16)
+    f = q.astype(np.float32) / 32768.0
+    for c in range(3):
+        sl = slice(c * a.hop_size, c * a.hop_size + a.win_size)
+        assert a.decode(q[:, sl]) == b.decode(list(f[:, sl]))
+
+
 def test_multistream_pipelined_matches_sequential():
     """decode_pipelined (lag-1 fetch overlap) emits the same per-round
     texts as decode, one round late, with flush() draining the last."""
