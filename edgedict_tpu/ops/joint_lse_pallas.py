@@ -78,14 +78,42 @@ def _row_blocking(u1):
     return r_u, ROWS // r_u
 
 
+_warned_envelope = False
+
+
+def _warn_u_envelope(u1):
+    """One-time notice when ONLY the U envelope disengages the kernel.
+
+    Falling off the fused path at production shapes is a measured ~17x
+    device-step regression (VALIDATION.md 5c: 84.7 ms -> 1479 ms at
+    U~390), and it is silent at runtime — the XLA chunked-joint fallback
+    is numerically identical.  Warn once, at trace time, so a long-
+    transcript corpus can't quietly burn the whole step budget."""
+    global _warned_envelope
+    if not _warned_envelope:
+        _warned_envelope = True
+        import warnings
+        warnings.warn(
+            f'fused joint+LSE kernel disengaged: U+1={u1} exceeds the '
+            f'row envelope (EDGEDICT_JOINT_ROWS={ROWS}); the train/loss '
+            f'step takes the ~17x-slower chunked XLA joint.  Raise '
+            f'EDGEDICT_JOINT_ROWS to the next pow2 >= {u1} (costs VMEM) '
+            f'or cap transcript length (see VALIDATION.md 5c).',
+            stacklevel=3)
+
+
 def joint_lse_eligible(u1, joint_size, vocab):
     mode = os.environ.get('EDGEDICT_PALLAS_JOINT', '1')
     if mode == '0':
         return False
     if mode != 'force' and jax.default_backend() != 'tpu':
         return False
-    return (_row_blocking(u1) is not None and joint_size % 128 == 0
-            and vocab % 128 == 0)
+    aligned = joint_size % 128 == 0 and vocab % 128 == 0
+    if aligned and _row_blocking(u1) is None:
+        # production-shaped operands where ONLY the U envelope fails:
+        # the one case that silently swaps a kernel for a 17x fallback
+        _warn_u_envelope(u1)
+    return _row_blocking(u1) is not None and aligned
 
 
 def _col_to_block(col, r_t, r_u):

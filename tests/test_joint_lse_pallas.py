@@ -230,3 +230,31 @@ def test_forward_parity_column_blocked(monkeypatch):
     assert _fwd_col_block(256) == 0
     monkeypatch.setenv('EDGEDICT_JOINT_FWD_COLS', '256')
     assert _fwd_col_block(256) == 0          # cb == V: use whole-V path
+
+
+def test_u_envelope_disengage_warns_once(monkeypatch):
+    """ONLY the U-envelope disengage warns (once): at production-aligned
+    shapes the fused->chunked swap is a measured ~17x step regression
+    (VALIDATION.md 5c), silent at runtime — the trace-time warning is
+    the operator's one signal.  Misaligned toy shapes must stay quiet."""
+    import warnings
+    from edgedict_tpu.ops import joint_lse_pallas as jl
+
+    monkeypatch.setenv('EDGEDICT_PALLAS_JOINT', 'force')
+    monkeypatch.setattr(jl, '_warned_envelope', False)
+
+    rows = jl.ROWS
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter('always')
+        # aligned joint/vocab, U+1 past the envelope -> warn
+        assert not jl.joint_lse_eligible(rows + 1, 128, 256)
+        # second disengage: one-time only
+        assert not jl.joint_lse_eligible(rows + 2, 128, 256)
+        # misaligned vocab (toy config): no warning even past the envelope
+        monkeypatch.setattr(jl, '_warned_envelope', False)
+        assert not jl.joint_lse_eligible(rows + 1, 128, 100)
+        # inside the envelope: eligible, no warning
+        assert jl.joint_lse_eligible(rows - 1, 128, 256)
+    msgs = [str(w.message) for w in rec
+            if 'disengaged' in str(w.message)]
+    assert len(msgs) == 1 and 'EDGEDICT_JOINT_ROWS' in msgs[0]
